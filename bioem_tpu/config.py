@@ -1,0 +1,61 @@
+"""Performance configuration (never changes results).
+
+Mirrors the reference's environment-variable performance layer
+(/root/reference/bioem.cpp:97-138, doc/index.rst:1535-1653): the reference
+deliberately separates physics parameters (keyword file) from performance
+knobs (env vars). Here the same split: :class:`RunConfig` holds block sizes,
+precision and mesh options, overridable via ``BIOEM_TPU_*`` env vars.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field, fields
+from typing import Optional
+
+
+@dataclass
+class RunConfig:
+    # Orientations processed per jitted device step (reference analogue:
+    # BIOEM_PROJ_CONV_AT_ONCE, bioem.cpp:105-121).
+    orient_block: int = 4
+    # Images per inner scan step; 0 = all images at once.
+    image_block: int = 0
+    # CTF kernels per inner step; 0 = whole bank.
+    conv_block: int = 0
+    # Debug reductions (reference BIOEM_DEBUG_BREAK / BIOEM_DEBUG_NMAPS,
+    # bioem.cpp:518-525, map.cpp:545-548).
+    debug_break: int = 0  # cap on n_orientations and n_ctfs
+    debug_nmaps: int = 0  # cap on images
+    # Verbosity 0/1/2 (reference BIOEM_DEBUG_OUTPUT).
+    debug_output: int = 0
+    # Device mesh: images × orientations. 1×1 = single chip.
+    mesh_images: int = 1
+    mesh_orient: int = 1
+    # Autotune block sizes before the main run.
+    autotune: bool = False
+    # Use the fused Pallas comparison kernel where available.
+    use_pallas: bool = False
+
+    @classmethod
+    def from_env(cls) -> "RunConfig":
+        cfg = cls()
+        mapping = {
+            "BIOEM_TPU_ORIENT_BLOCK": "orient_block",
+            "BIOEM_TPU_IMAGE_BLOCK": "image_block",
+            "BIOEM_TPU_CONV_BLOCK": "conv_block",
+            "BIOEM_DEBUG_BREAK": "debug_break",
+            "BIOEM_DEBUG_NMAPS": "debug_nmaps",
+            "BIOEM_DEBUG_OUTPUT": "debug_output",
+            "BIOEM_TPU_MESH_IMAGES": "mesh_images",
+            "BIOEM_TPU_MESH_ORIENT": "mesh_orient",
+        }
+        for env, attr in mapping.items():
+            v = os.environ.get(env)
+            if v is not None:
+                setattr(cfg, attr, int(v))
+        if os.environ.get("BIOEM_TPU_AUTOTUNE"):
+            cfg.autotune = bool(int(os.environ["BIOEM_TPU_AUTOTUNE"]))
+        if os.environ.get("BIOEM_TPU_PALLAS"):
+            cfg.use_pallas = bool(int(os.environ["BIOEM_TPU_PALLAS"]))
+        return cfg

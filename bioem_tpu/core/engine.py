@@ -1,0 +1,358 @@
+"""Single-device BioEM engine: precompute → jitted orientation-block scan.
+
+TPU-native re-design of the reference main loop (``bioem::run``,
+/root/reference/bioem.cpp:659-907). The reference's triple loop
+(orientation × ctf × image) with OpenMP/CUDA double-buffering becomes:
+
+* host-side precompute of the CTF bank, image FFT bank, per-image sums and
+  DFT displacement weights (reference precalculate, bioem.cpp:594-622);
+* one jitted **block step** that projects an orientation block, convolves
+  with the whole CTF bank, evaluates the displacement-lattice posterior for
+  every image and folds it into the streaming per-image state;
+* a ``lax.scan`` (or host loop, for progress output) over orientation
+  blocks — XLA pipelines projection/convolution/comparison automatically,
+  subsuming the reference's manual 2-stage pipeline (bioem.cpp:708-726).
+
+Multi-device sharding wraps this engine via shard_map (bioem_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import defs
+from ..config import RunConfig
+from ..params import (
+    BioEMParams,
+    displacement_lists,
+    log_normalization_constant,
+    make_ctf_grid,
+    orientation_volume_quirked,
+)
+from ..io.map_io import ImageStack
+from ..io.model_io import Model
+from .ctf import build_ctf_bank
+from .orientations import OrientationSet, rotation_matrices
+from .posterior import (
+    PosteriorState,
+    convolution_sums,
+    ctf_prior_term,
+    displacement_cc,
+    displacement_dft_weights,
+    displacement_lse,
+    hermitian_weights,
+    init_state,
+    logpro_constants,
+    merge_block,
+)
+from .projection import ProjectionSpec, make_projection_spec, project_batch
+
+F32 = jnp.float32
+F64 = jnp.float64
+I32 = jnp.int32
+
+
+class Banks(NamedTuple):
+    """Device-resident precomputed constants, passed explicitly to the
+    jitted step (closure capture would embed them as MLIR constants, which
+    both bloats the executable and requires device→host copies that some
+    PJRT backends forbid)."""
+
+    ctf_re: jnp.ndarray  # (C, N, F) f32 CTF/PSF kernel bank (real part)
+    ctf_im: jnp.ndarray
+    wx_re: jnp.ndarray  # (D, N) f32 displacement DFT rows
+    wx_im: jnp.ndarray
+    wy_re: jnp.ndarray  # (D, F) f32 displacement DFT cols
+    wy_im: jnp.ndarray
+    h: jnp.ndarray  # (F,) f32 Hermitian weights
+    img_re: jnp.ndarray  # (I, N, F) f32 conj image spectra · h/N² (real)
+    img_im: jnp.ndarray
+    sum_ref: jnp.ndarray  # (I,) f32
+    ssq_ref: jnp.ndarray  # (I,) f32
+    disp: jnp.ndarray  # (D,) i32
+    amp: jnp.ndarray  # (C,) f32
+    pha: jnp.ndarray
+    env: jnp.ndarray
+    points: jnp.ndarray  # (P, 3) f32
+    radii: jnp.ndarray  # (P,) f32
+    dens: jnp.ndarray  # (P,) f32
+    norm_den: jnp.ndarray  # scalar f32
+
+
+@dataclass
+class Results:
+    """Final per-image posterior summary (reference Output_Probabilities)."""
+
+    log_prob: np.ndarray
+    constoadd: np.ndarray
+    total: np.ndarray
+    best_orient: np.ndarray
+    best_conv: np.ndarray
+    best_cent_x: np.ndarray
+    best_cent_y: np.ndarray
+    best_norm: np.ndarray
+    best_mu: np.ndarray
+    angle_log: Optional[np.ndarray]  # (I, n_orient) or None
+    log_norm_const: float
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class BioEMEngine:
+    """Posterior computation for one model against an image stack."""
+
+    def __init__(
+        self,
+        p: BioEMParams,
+        orients: OrientationSet,
+        model: Model,
+        images: ImageStack,
+        cfg: Optional[RunConfig] = None,
+    ):
+        defs.enable_x64()
+        cfg = cfg or RunConfig()
+        self.cfg = cfg
+        self.p = p
+
+        # Debug reductions (reference bioem.cpp:518-525, map.cpp:545-548)
+        grid = make_ctf_grid(p)
+        n_orient = orients.n
+        n_ctf = grid.n
+        if cfg.debug_break:
+            n_orient = min(n_orient, cfg.debug_break)
+            n_ctf = min(n_ctf, cfg.debug_break)
+        maps = images.maps
+        if cfg.debug_nmaps:
+            maps = maps[: cfg.debug_nmaps]
+
+        self.orients = orients
+        self.n_orient = n_orient
+        self.n_img = maps.shape[0]
+        n = p.n_pixels
+        nf = p.n_fft_1d
+
+        # --- CTF bank (host precompute, reference param.cpp:1336-1620) ---
+        self.grid = grid
+        ctf_bank = build_ctf_bank(p, grid)[:n_ctf]
+        self.n_ctf = n_ctf
+
+        # --- displacement lattice + DFT weights ---
+        disp, _cent = displacement_lists(p)
+        self.disp = disp
+        wx, wy = displacement_dft_weights(n, disp)
+
+        # --- image precompute (reference map.cpp:557-630) ---
+        h = hermitian_weights(n)
+        flat = maps.reshape(self.n_img, -1).astype(np.float64)
+        sum_ref = flat.sum(axis=1).astype(np.float32)
+        ssq_ref = (flat**2).sum(axis=1).astype(np.float32)
+        img_fft = np.fft.rfft2(maps.astype(np.float32)).astype(np.complex64)
+        img_fc = (np.conj(img_fft) * (h[None, None, :] / np.float32(n * n))).astype(
+            np.complex64
+        )
+
+        # --- block sizes ---
+        self.o_block = max(1, min(cfg.orient_block, n_orient))
+        if cfg.image_block > 0:
+            self.i_block = min(cfg.image_block, self.n_img)
+        else:
+            # Bound the (O, C, Ib, N, F) complex64 product tensor ≈ 1 GiB.
+            budget = 1 << 27  # elements
+            per_img = self.o_block * n_ctf * n * nf
+            self.i_block = int(np.clip(budget // max(per_img, 1), 1, self.n_img))
+        self.n_img_pad = _cdiv(self.n_img, self.i_block) * self.i_block
+        pad_i = self.n_img_pad - self.n_img
+        if pad_i:
+            # Replicate image 0 into the padding lanes to keep all values
+            # finite; padded lanes are dropped at extraction time.
+            img_fc = np.concatenate([img_fc, np.repeat(img_fc[:1], pad_i, 0)])
+            sum_ref = np.concatenate([sum_ref, np.repeat(sum_ref[:1], pad_i)])
+            ssq_ref = np.concatenate([ssq_ref, np.repeat(ssq_ref[:1], pad_i)])
+
+        self.n_orient_pad = _cdiv(n_orient, self.o_block) * self.o_block
+
+        # --- device constants (explicit jit arguments, see Banks) ---
+        # Complex banks are shipped as split real/imag float32: complex
+        # buffers must not cross the host↔device boundary (unsupported on
+        # some PJRT backends) and split-real matmuls map better to the MXU.
+        self.banks = Banks(
+            ctf_re=jnp.asarray(np.ascontiguousarray(ctf_bank.real)),
+            ctf_im=jnp.asarray(np.ascontiguousarray(ctf_bank.imag)),
+            wx_re=jnp.asarray(np.ascontiguousarray(wx.real)),
+            wx_im=jnp.asarray(np.ascontiguousarray(wx.imag)),
+            wy_re=jnp.asarray(np.ascontiguousarray(wy.real)),
+            wy_im=jnp.asarray(np.ascontiguousarray(wy.imag)),
+            h=jnp.asarray(h),
+            img_re=jnp.asarray(np.ascontiguousarray(img_fc.real)),
+            img_im=jnp.asarray(np.ascontiguousarray(img_fc.imag)),
+            sum_ref=jnp.asarray(sum_ref),
+            ssq_ref=jnp.asarray(ssq_ref),
+            disp=jnp.asarray(disp.astype(np.int32)),
+            amp=jnp.asarray(grid.amp[:n_ctf]),
+            pha=jnp.asarray(grid.phase[:n_ctf]),
+            env=jnp.asarray(grid.env[:n_ctf]),
+            points=jnp.asarray(model.points),
+            radii=jnp.asarray(model.radii),
+            dens=jnp.asarray(model.densities),
+            norm_den=jnp.float32(model.norm_den),
+        )
+
+        self.spec = make_projection_spec(p, model.radii)
+
+        # --- orientation blocks (padded; mask kills padding lanes) ---
+        ang = orients.angles[:n_orient]
+        pad_o = self.n_orient_pad - n_orient
+        ang_p = np.concatenate([ang, np.repeat(ang[:1], pad_o, 0)]) if pad_o else ang
+        # int32 mask: bool buffers don't transfer on some PJRT backends.
+        mask = np.concatenate(
+            [np.ones(n_orient, np.int32), np.zeros(pad_o, np.int32)]
+        )
+        nblk = self.n_orient_pad // self.o_block
+        self.ang_blocks = jnp.asarray(
+            ang_p.reshape(nblk, self.o_block, 4).astype(np.float32)
+        )
+        self.mask_blocks = jnp.asarray(mask.reshape(nblk, self.o_block))
+        self.offsets = jnp.asarray(
+            (np.arange(nblk) * self.o_block).astype(np.int32)
+        )
+
+        self._step = jax.jit(self._block_step, donate_argnums=(0,))
+        self._scan_run = jax.jit(self._run_scan, donate_argnums=(0,))
+
+    # ------------------------------------------------------------------
+    def _block_step(self, state: PosteriorState, banks: Banks, angles, orient_offset, mask):
+        p = self.p
+        n = p.n_pixels
+        ntot = p.n_total_pixels
+
+        rotm = rotation_matrices(angles, self.orients.use_quaternions)
+        proj = project_batch(
+            self.spec, rotm, banks.points, banks.radii, banks.dens, banks.norm_den
+        )
+        proj_f = jnp.fft.rfft2(proj)  # (O, N, F) complex — device-internal only
+        pr, pi = jnp.real(proj_f).astype(F32), jnp.imag(proj_f).astype(F32)
+        # conv = proj · conj(ctf) (reference bioem.cpp:1879-1883), split form
+        conv_re = pr[:, None] * banks.ctf_re[None] + pi[:, None] * banks.ctf_im[None]
+        conv_im = pi[:, None] * banks.ctf_re[None] - pr[:, None] * banks.ctf_im[None]
+        sum_c, ssq_c = convolution_sums(conv_re, conv_im, banks.h, n)
+
+        prior = ctf_prior_term(banks.amp, banks.pha, banks.env, p)  # (C,) f64
+        prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
+
+        def per_img_block(args):
+            img_re_b, img_im_b, sref_b, ssref_b = args
+            f0, k = logpro_constants(sum_c, ssq_c, sref_b, ssref_b, prior_oc, ntot)
+            cc = displacement_cc(
+                conv_re, conv_im, img_re_b, img_im_b,
+                banks.wx_re, banks.wx_im, banks.wy_re, banks.wy_im,
+            )
+            m, se, ds, ccs = displacement_lse(cc, sum_c, sref_b, f0, ntot)
+            return m, se, ds, ccs, k
+
+        nb = self.n_img_pad // self.i_block
+        xs = (
+            banks.img_re.reshape(nb, self.i_block, n, p.n_fft_1d),
+            banks.img_im.reshape(nb, self.i_block, n, p.n_fft_1d),
+            banks.sum_ref.reshape(nb, self.i_block),
+            banks.ssq_ref.reshape(nb, self.i_block),
+        )
+        m, se, ds, ccs, k = jax.lax.map(per_img_block, xs)
+        # (B, O, C, Ib, ...) → (O, C, I)
+        o, c = self.o_block, self.n_ctf
+
+        def fold(x):
+            return jnp.moveaxis(x, 0, 2).reshape(o, c, self.n_img_pad)
+
+        m, se, ds, ccs = fold(m), fold(se), fold(ds), fold(ccs)
+        k = fold(k)
+        k = jnp.where(mask[:, None, None] != 0, k, -jnp.inf)
+
+        return merge_block(
+            state,
+            m,
+            se,
+            ds,
+            ccs,
+            k,
+            sum_c,
+            ssq_c,
+            banks.sum_ref,
+            banks.disp,
+            orient_offset,
+            ntot,
+            self.disp.shape[0],
+        )
+
+    def _run_scan(self, state, banks, ang_blocks, offsets, mask_blocks):
+        def body(st, xs):
+            ang, off, mask = xs
+            return self._block_step(st, banks, ang, off, mask), None
+
+        state, _ = jax.lax.scan(body, state, (ang_blocks, offsets, mask_blocks))
+        return state
+
+    # ------------------------------------------------------------------
+    def initial_state(self) -> PosteriorState:
+        return init_state(self.n_img_pad, self.n_orient_pad, self.p.write_angles > 0)
+
+    def run(self, progress: bool = False) -> PosteriorState:
+        state = self.initial_state()
+        if progress or self.cfg.debug_output >= 1:
+            import time
+
+            nblk = self.ang_blocks.shape[0]
+            for b in range(nblk):
+                t0 = time.perf_counter()
+                state = self._step(
+                    state, self.banks, self.ang_blocks[b], self.offsets[b],
+                    self.mask_blocks[b],
+                )
+                if self.cfg.debug_output >= 2:
+                    jax.block_until_ready(state.total)
+                    print(
+                        f"\tTime orientation block {b}/{nblk}: "
+                        f"{time.perf_counter() - t0:.4f}"
+                    )
+            return state
+        return self._scan_run(
+            state, self.banks, self.ang_blocks, self.offsets, self.mask_blocks
+        )
+
+    # ------------------------------------------------------------------
+    def results(self, state: PosteriorState) -> Results:
+        p = self.p
+        volu = orientation_volume_quirked(p, self.orients.voluang, self.grid)
+        k_norm = log_normalization_constant(p, volu)
+        i = self.n_img
+        total = np.asarray(state.total)[:i]
+        const = np.asarray(state.const)[:i]
+        with np.errstate(divide="ignore"):
+            log_prob = np.log(total) + const + k_norm
+        angle_log = None
+        if state.ang_total is not None:
+            at = np.asarray(state.ang_total)[:i, : self.n_orient]
+            ac = np.asarray(state.ang_const)[:i, : self.n_orient]
+            with np.errstate(divide="ignore"):
+                angle_log = np.log(at) + ac + k_norm
+        return Results(
+            log_prob=log_prob,
+            constoadd=const,
+            total=total,
+            best_orient=np.asarray(state.best_orient)[:i],
+            best_conv=np.asarray(state.best_conv)[:i],
+            best_cent_x=np.asarray(state.best_cent_x)[:i],
+            best_cent_y=np.asarray(state.best_cent_y)[:i],
+            best_norm=np.asarray(state.best_norm)[:i],
+            best_mu=np.asarray(state.best_mu)[:i],
+            angle_log=angle_log,
+            log_norm_const=k_norm,
+        )

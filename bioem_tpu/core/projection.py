@@ -1,0 +1,135 @@
+"""Model projection: rotate a point/sphere cloud and rasterise onto a 2D grid.
+
+TPU-native re-design of reference ``createProjection``
+(/root/reference/bioem.cpp:1604-1853). The reference loops over model points
+with data-dependent sphere footprints; here each point carries a *static*
+stencil of (2·irad_max+1)² candidate pixels whose weights are masked by the
+sphere-chord condition, so the whole projection is one vectorised
+scatter-add per orientation — jit/vmap-safe with static shapes.
+
+Semantics preserved exactly:
+* radius ≤ pixelSize → single-pixel splat of the point density, no model
+  shift applied (bioem.cpp:1715-1741);
+* radius > pixelSize → solid-sphere chord-length density
+  pix²·2·√(r²−d²)·ρ·3/(4πr·r²) over the disc d² < r², with the
+  (shift_x, shift_y) offset and the per-point out-of-bounds skip
+  (bioem.cpp:1744-1803);
+* total density renormalised to the model's NormDen (bioem.cpp:1806-1818).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class ProjectionSpec:
+    """Static projection configuration derived from the model + params."""
+
+    n_pixels: int
+    pixel_size: float
+    shift_x: int
+    shift_y: int
+    stencil_half: int  # max irad over model points (0 if all point-like)
+
+
+def make_projection_spec(p, radii: np.ndarray) -> ProjectionSpec:
+    large = radii > p.pixel_size
+    if large.any():
+        irad_max = int(np.max((radii[large] / p.pixel_size).astype(np.int64)) + 1)
+    else:
+        irad_max = 0
+    return ProjectionSpec(
+        n_pixels=p.n_pixels,
+        pixel_size=p.pixel_size,
+        shift_x=p.shift_x,
+        shift_y=p.shift_y,
+        stencil_half=irad_max,
+    )
+
+
+def project_one(
+    spec: ProjectionSpec,
+    rotmat: jnp.ndarray,  # (3, 3)
+    points: jnp.ndarray,  # (P, 3) f32
+    radii: jnp.ndarray,  # (P,) f32
+    densities: jnp.ndarray,  # (P,) f32
+    norm_den: jnp.ndarray,  # scalar f32
+) -> jnp.ndarray:
+    """Project one orientation → (N, N) float32 image."""
+    n = spec.n_pixels
+    pix = jnp.float32(spec.pixel_size)
+    s = spec.stencil_half
+
+    rot = points @ rotmat.T  # (P, 3); r' = R @ r (bioem.cpp:1683-1693)
+    x, y = rot[:, 0], rot[:, 1]
+
+    half = jnp.float32(n) / 2.0
+    i_raw = jnp.floor(x / pix + half + 0.5).astype(jnp.int32)
+    j_raw = jnp.floor(y / pix + half + 0.5).astype(jnp.int32)
+
+    small = radii <= pix
+    irad = (radii / pix).astype(jnp.int32) + 1
+    rad2 = radii * radii
+
+    i0 = jnp.where(small, i_raw, i_raw - spec.shift_x)
+    j0 = jnp.where(small, j_raw, j_raw - spec.shift_y)
+
+    valid_small = (i_raw >= 0) & (j_raw >= 0) & (i_raw < n) & (j_raw < n)
+    valid_large = (i0 >= irad) & (j0 >= irad) & (i0 < n - irad) & (j0 < n - irad)
+    valid = jnp.where(small, valid_small, valid_large)
+
+    if s == 0:
+        w = jnp.where(valid & small, densities, jnp.float32(0.0))  # (P,)
+        flat = jnp.clip(i0 * n + j0, 0, n * n - 1)
+        tempden = jnp.sum(w)
+        proj = jnp.zeros((n * n,), jnp.float32).at[flat].add(w)
+    else:
+        du = jnp.arange(-s, s + 1, dtype=jnp.int32)
+        dv = jnp.arange(-s, s + 1, dtype=jnp.int32)
+        DU, DV = jnp.meshgrid(du, dv, indexing="ij")  # (S, S)
+        dist = (DU * DU + DV * DV).astype(jnp.float32)[None] * pix * pix  # (1,S,S)
+        rad2b = rad2[:, None, None]
+        inside = dist < rad2b
+        chord = (
+            pix
+            * pix
+            * 2.0
+            * jnp.sqrt(jnp.maximum(rad2b - dist, 0.0))
+            * densities[:, None, None]
+            * 3.0
+            / (4.0 * jnp.float32(math.pi) * radii[:, None, None] * rad2b)
+        )
+        center = (DU == 0) & (DV == 0)
+        w_large = jnp.where(inside, chord, 0.0)
+        w_small = jnp.where(center[None], densities[:, None, None], 0.0)
+        w = jnp.where(small[:, None, None], w_small, w_large)
+        w = jnp.where(valid[:, None, None], w, 0.0)  # (P, S, S)
+
+        ii = i0[:, None, None] + DU[None]
+        jj = j0[:, None, None] + DV[None]
+        flat = jnp.clip(ii * n + jj, 0, n * n - 1)
+        tempden = jnp.sum(w)
+        proj = jnp.zeros((n * n,), jnp.float32).at[flat.reshape(-1)].add(w.reshape(-1))
+
+    ratio = norm_den / tempden
+    return (proj * ratio).reshape(n, n)
+
+
+def project_batch(
+    spec: ProjectionSpec,
+    rotmats: jnp.ndarray,  # (O, 3, 3)
+    points: jnp.ndarray,
+    radii: jnp.ndarray,
+    densities: jnp.ndarray,
+    norm_den: jnp.ndarray,
+) -> jnp.ndarray:
+    """(O, N, N) float32 projections for a block of orientations."""
+    return jax.vmap(lambda rm: project_one(spec, rm, points, radii, densities, norm_den))(
+        rotmats
+    )

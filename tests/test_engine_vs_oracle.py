@@ -1,0 +1,96 @@
+"""End-to-end: JAX engine log(P) and argmax parity with the NumPy oracle.
+
+The oracle (tests/oracle/oracle.py) is a loop-level transliteration of the
+reference math; the engine must reproduce its log posteriors to float32
+pipeline tolerance and its argmax parameters exactly.
+"""
+
+import numpy as np
+import pytest
+
+from bioem_tpu.config import RunConfig
+from bioem_tpu.core.engine import BioEMEngine
+from bioem_tpu.core.orientations import build_orientations
+from tests.conftest import tiny_images, tiny_model, tiny_params
+from tests.oracle.oracle import run_oracle
+
+
+def _run_both(p, rng, n_img=3, cfg=None, with_radius=True):
+    orients = build_orientations(p)
+    model = tiny_model(rng, with_radius=with_radius)
+    images = tiny_images(rng, n_img, p.n_pixels)
+    oracle = run_oracle(
+        p, orients, model.points.astype(np.float64), model.radii, model.densities,
+        model.norm_den, images.maps,
+    )
+    eng = BioEMEngine(p, orients, model, images, cfg or RunConfig(orient_block=3))
+    res = eng.results(eng.run())
+    return oracle, res
+
+
+def test_logp_matches_oracle(rng):
+    p = tiny_params()
+    oracle, res = _run_both(p, rng)
+    np.testing.assert_allclose(res.log_prob, oracle.log_prob, rtol=0, atol=2e-3)
+
+
+def test_argmax_matches_oracle(rng):
+    p = tiny_params()
+    oracle, res = _run_both(p, rng)
+    np.testing.assert_array_equal(res.best_orient, oracle.max_orient)
+    np.testing.assert_array_equal(res.best_conv, oracle.max_conv)
+    np.testing.assert_array_equal(res.best_cent_x, oracle.max_cent_x)
+    np.testing.assert_array_equal(res.best_cent_y, oracle.max_cent_y)
+    np.testing.assert_allclose(res.best_norm, oracle.max_norm, rtol=1e-3)
+    np.testing.assert_allclose(res.best_mu, oracle.max_mu, rtol=1e-3, atol=1e-5)
+
+
+def test_point_model_no_radius(rng):
+    p = tiny_params()
+    oracle, res = _run_both(p, rng, with_radius=False)
+    np.testing.assert_allclose(res.log_prob, oracle.log_prob, rtol=0, atol=2e-3)
+
+
+def test_write_angles(rng):
+    p = tiny_params(write_angles=2)
+    oracle, res = _run_both(p, rng)
+    assert res.angle_log is not None
+    np.testing.assert_allclose(res.angle_log, oracle.angle_log, rtol=0, atol=2e-3)
+
+
+def test_psf_mode(rng):
+    p = tiny_params(
+        use_psf=True,
+        start_amp=0.2, end_amp=0.2, n_amp=1,
+        start_phase=0.2, end_phase=0.6, n_phase=2,
+        start_env=0.05, end_env=0.2, n_env=2,
+    )
+    p._finalized = True  # PSF mode: values already in real space
+    oracle, res = _run_both(p, rng)
+    np.testing.assert_allclose(res.log_prob, oracle.log_prob, rtol=0, atol=2e-3)
+
+
+def test_quaternion_grid(rng):
+    p = tiny_params(use_quaternions=True, grid_points_quaternion=2)
+    oracle, res = _run_both(p, rng)
+    np.testing.assert_allclose(res.log_prob, oracle.log_prob, rtol=0, atol=2e-3)
+
+
+def test_image_blocking_invariance(rng):
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 5, p.n_pixels)
+    r1 = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2, image_block=2))
+    r2 = BioEMEngine(p, orients, model, images, RunConfig(orient_block=4, image_block=0))
+    a = r1.results(r1.run())
+    b = r2.results(r2.run())
+    # Different block shapes reorder f32 reductions; ~1e-7 noise expected.
+    np.testing.assert_allclose(a.log_prob, b.log_prob, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(a.best_orient, b.best_orient)
+
+
+def test_odd_npixels(rng):
+    p = tiny_params(n_pixels=15)
+    oracle, res = _run_both(p, rng)
+    np.testing.assert_allclose(res.log_prob, oracle.log_prob, rtol=0, atol=2e-3)
