@@ -1,0 +1,191 @@
+"""Command-line interface with the reference's flag surface.
+
+TPU-native equivalent of reference ``main.cpp`` + ``bioem::readOptions``
+(/root/reference/main.cpp:57-134, bioem.cpp:142-436). All reference long
+options are accepted verbatim, so existing BioEM invocations work:
+
+    python -m bioem_tpu.cli --Modelfile m.txt --Particlesfile p.txt \
+        --Inputfile params.txt [--ReadOrientation quat.txt] [...]
+
+Performance env vars (BIOEM_DEBUG_*, BIOEM_TPU_*) are honoured via
+RunConfig.from_env, mirroring the reference's physics/performance split.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+from . import defs
+from .config import RunConfig
+from .params import read_best_params, read_parameters
+from .io.map_io import read_ref_maps
+from .io.model_io import read_model, write_coordread
+from .io.output import write_angle_probabilities, write_probabilities
+
+
+def build_parser() -> argparse.ArgumentParser:
+    ap = argparse.ArgumentParser(
+        prog="bioem_tpu",
+        description="TPU-native Bayesian inference of Electron Microscopy images",
+        add_help=False,
+    )
+    # Option table mirrors reference bioem.cpp:193-224.
+    ap.add_argument("--Modelfile", metavar="arg", help="(Mandatory) Name of model file")
+    ap.add_argument(
+        "--Particlesfile", metavar="arg", help="(Mandatory) Name of particle-image file"
+    )
+    ap.add_argument(
+        "--Inputfile", metavar="arg", help="(Mandatory) Name of input parameter file"
+    )
+    ap.add_argument(
+        "--PrintBestCalMap",
+        metavar="arg",
+        help="(Optional) Only print best calculated map. NO BioEM!",
+    )
+    ap.add_argument(
+        "--ReadOrientation",
+        metavar="arg",
+        help="(Optional) Read file name containing orientations",
+    )
+    ap.add_argument(
+        "--ReadPDB", action="store_true", help="(Optional) If reading model file in PDB format"
+    )
+    ap.add_argument(
+        "--ReadModelMRC",
+        action="store_true",
+        help="(Optional) If reading model file in MRC format",
+    )
+    ap.add_argument(
+        "--ReadMRC", action="store_true", help="(Optional) If reading particle file in MRC format"
+    )
+    ap.add_argument(
+        "--ReadMultipleMRC", action="store_true", help="(Optional) If reading multiple MRCs"
+    )
+    ap.add_argument(
+        "--DumpMaps",
+        action="store_true",
+        help="(Optional) Dump maps after they were read from particle-image file",
+    )
+    ap.add_argument(
+        "--LoadMapDump", action="store_true", help="(Optional) Read maps from dump option"
+    )
+    ap.add_argument(
+        "--DumpModel",
+        action="store_true",
+        help="(Optional) Dump model after it was read from model file",
+    )
+    ap.add_argument(
+        "--LoadModelDump", action="store_true", help="(Optional) Read model from dump option"
+    )
+    ap.add_argument(
+        "--PrintCOORDREAD", action="store_true", help="(Optional) Print model coordinates"
+    )
+    ap.add_argument(
+        "--OutputFile",
+        metavar="arg",
+        default=defs.DEFAULT_OUTPUT_FILE,
+        help="(Optional) For changing the outputfile name",
+    )
+    ap.add_argument("--help", action="help", help="(Optional) Produce help message")
+    return ap
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = RunConfig.from_env()
+
+    if args.ReadMultipleMRC and not args.ReadMRC:
+        print("Error - For multiple MRCs command --ReadMRC is necessary too")
+        return 1
+
+    # ---- PrintBestCalMap mode (reference main.cpp:97-108) ----
+    if args.PrintBestCalMap:
+        from .simulator import write_best_map
+
+        bp = read_best_params(args.PrintBestCalMap)
+        model = read_model(
+            args.Modelfile,
+            read_pdb=args.ReadPDB,
+            read_mrc=args.ReadModelMRC,
+            load_dump=args.LoadModelDump,
+            dump=args.DumpModel,
+            pixel_size=bp.pixel_size,
+            center_mass=not bp.no_center_mass,
+        )
+        if args.PrintCOORDREAD:
+            write_coordread(model)
+        with open(defs.FILE_BESTMAP, "w") as f:
+            write_best_map(bp, model, f)
+        print(
+            "\n\nBest map printed in file: BESTMAP with gnuplot format in "
+            "columns 2, 3 and 4. \n\n"
+        )
+        return 0
+
+    for req in ("Modelfile", "Particlesfile", "Inputfile"):
+        if getattr(args, req) is None:
+            print("Error - Need to specify all mandatory options")
+            build_parser().print_help()
+            return 1
+
+    t0 = time.perf_counter()
+    p = read_parameters(args.Inputfile, not_uniform_angles=args.ReadOrientation is not None)
+
+    images = read_ref_maps(
+        args.Particlesfile,
+        p.n_pixels,
+        read_mrc=args.ReadMRC,
+        read_mult_mrc=args.ReadMultipleMRC,
+        load_dump=args.LoadMapDump,
+        dump=args.DumpMaps,
+        normalize=not p.no_map_norm,
+        debug_nmaps=cfg.debug_nmaps,
+    )
+    print(f"Total Number of particles: {images.n}")
+
+    model = read_model(
+        args.Modelfile,
+        read_pdb=args.ReadPDB,
+        read_mrc=args.ReadModelMRC,
+        load_dump=args.LoadModelDump,
+        dump=args.DumpModel,
+        pixel_size=p.pixel_size,
+        ignore_pdb=p.ignore_pdb,
+        center_mass=not p.no_center_mass,
+    )
+    print(f"Total Number of Voxels {model.n_points}")
+    print(f"Total Number of Electrons {model.norm_den:g}")
+    if args.PrintCOORDREAD:
+        write_coordread(model)
+
+    from .core.orientations import build_orientations
+
+    orients = build_orientations(p, args.ReadOrientation)
+    if cfg.debug_output >= 1:
+        print(f"Setup time: {time.perf_counter() - t0:.2f}s")
+
+    # ---- engine run (multi-device aware) ----
+    from .run import run_bioem
+
+    t0 = time.perf_counter()
+    results, perf = run_bioem(p, orients, model, images, cfg)
+    if cfg.debug_output >= 1:
+        print(
+            f"Main loop: {perf['run_s']:.3f}s "
+            f"({perf['comparisons_per_s']:.3e} comparisons/s)"
+        )
+
+    with open(args.OutputFile, "w") as f:
+        write_probabilities(f, p, orients, results.grid, results)
+    if p.write_angles:
+        with open(defs.FILE_ANG_PROB, "w") as f:
+            write_angle_probabilities(f, p, orients, results)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

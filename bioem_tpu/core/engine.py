@@ -101,6 +101,11 @@ class Results:
     best_mu: np.ndarray
     angle_log: Optional[np.ndarray]  # (I, n_orient) or None
     log_norm_const: float
+    # raw per-angle accumulator split for ANG_PROB's "Separated:" columns:
+    # (log(forAngles), ConstAngle) per (image, orientation)
+    angle_raw: Optional[tuple] = None
+    # CTF parameter grid, attached by the driver for the output writers
+    grid: Optional[object] = None
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -169,7 +174,8 @@ class BioEMEngine:
             budget = 1 << 27  # elements
             per_img = self.o_block * n_ctf * n * nf
             self.i_block = int(np.clip(budget // max(per_img, 1), 1, self.n_img))
-        self.n_img_pad = _cdiv(self.n_img, self.i_block) * self.i_block
+        img_mult = self.i_block * getattr(self, "n_img_shards", 1)
+        self.n_img_pad = _cdiv(self.n_img, img_mult) * img_mult
         pad_i = self.n_img_pad - self.n_img
         if pad_i:
             # Replicate image 0 into the padding lanes to keep all values
@@ -178,7 +184,8 @@ class BioEMEngine:
             sum_ref = np.concatenate([sum_ref, np.repeat(sum_ref[:1], pad_i)])
             ssq_ref = np.concatenate([ssq_ref, np.repeat(ssq_ref[:1], pad_i)])
 
-        self.n_orient_pad = _cdiv(n_orient, self.o_block) * self.o_block
+        blk_mult = self.o_block * getattr(self, "n_orient_shards", 1)
+        self.n_orient_pad = _cdiv(n_orient, blk_mult) * blk_mult
 
         # --- device constants (explicit jit arguments, see Banks) ---
         # Complex banks are shipped as split real/imag float32: complex
@@ -229,7 +236,7 @@ class BioEMEngine:
         self._scan_run = jax.jit(self._run_scan, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
-    def _block_step(self, state: PosteriorState, banks: Banks, angles, orient_offset, mask):
+    def _block_step(self, state: PosteriorState, banks: Banks, angles, orient_offset, mask, ang_offset=None):
         p = self.p
         n = p.n_pixels
         ntot = p.n_total_pixels
@@ -258,7 +265,8 @@ class BioEMEngine:
             m, se, ds, ccs = displacement_lse(cc, sum_c, sref_b, f0, ntot)
             return m, se, ds, ccs, k
 
-        nb = self.n_img_pad // self.i_block
+        n_img_local = banks.img_re.shape[0]
+        nb = n_img_local // self.i_block
         xs = (
             banks.img_re.reshape(nb, self.i_block, n, p.n_fft_1d),
             banks.img_im.reshape(nb, self.i_block, n, p.n_fft_1d),
@@ -270,7 +278,7 @@ class BioEMEngine:
         o, c = self.o_block, self.n_ctf
 
         def fold(x):
-            return jnp.moveaxis(x, 0, 2).reshape(o, c, self.n_img_pad)
+            return jnp.moveaxis(x, 0, 2).reshape(o, c, n_img_local)
 
         m, se, ds, ccs = fold(m), fold(se), fold(ds), fold(ccs)
         k = fold(k)
@@ -290,6 +298,7 @@ class BioEMEngine:
             orient_offset,
             ntot,
             self.disp.shape[0],
+            ang_offset=ang_offset,
         )
 
     def _run_scan(self, state, banks, ang_blocks, offsets, mask_blocks):
@@ -338,11 +347,14 @@ class BioEMEngine:
         with np.errstate(divide="ignore"):
             log_prob = np.log(total) + const + k_norm
         angle_log = None
+        angle_raw = None
         if state.ang_total is not None:
             at = np.asarray(state.ang_total)[:i, : self.n_orient]
             ac = np.asarray(state.ang_const)[:i, : self.n_orient]
             with np.errstate(divide="ignore"):
-                angle_log = np.log(at) + ac + k_norm
+                log_at = np.log(at)
+                angle_log = log_at + ac + k_norm
+            angle_raw = (log_at, ac)
         return Results(
             log_prob=log_prob,
             constoadd=const,
@@ -355,4 +367,5 @@ class BioEMEngine:
             best_mu=np.asarray(state.best_mu)[:i],
             angle_log=angle_log,
             log_norm_const=k_norm,
+            angle_raw=angle_raw,
         )

