@@ -51,8 +51,14 @@ def read_text_maps(path: str, n_pixels: int) -> ImageStack:
     """PARTICLE-separated text format ``%8d%8d%16.8f`` (map.cpp:268-518).
 
     Text maps are *not* normalised (parity with the reference, which only
-    normalises MRC input).
+    normalises MRC input). Uses the multithreaded C++ parser from
+    bioem_tpu.runtime when available (reference READ_PARALLEL path).
     """
+    from ..runtime import native
+
+    fast = native.read_text_maps(path, n_pixels)
+    if fast is not None:
+        return ImageStack(fast)
     with open(path) as f:
         content = f.read()
     if not content.startswith("PARTICLE"):
@@ -88,6 +94,11 @@ def read_mrc_maps(path: str, n_pixels: int, normalize: bool = True) -> ImageStac
     (row) outer and i (column) inner — i.e. the stored map is the transpose
     of the file section. Reproduced here via a transpose.
     """
+    from ..runtime import native
+
+    fast = native.read_mrc_stack(path, n_pixels, normalize)
+    if fast is not None:
+        return ImageStack(fast)
     hdr = read_mrc_header(path)
     if hdr.nr != n_pixels or hdr.nc != n_pixels:
         raise ValueError(
