@@ -36,6 +36,8 @@ class RunConfig:
     autotune: bool = False
     # Use the fused Pallas comparison kernel where available.
     use_pallas: bool = False
+    # Images per Pallas grid step (VMEM-resident image tile).
+    pallas_img_tile: int = 8
 
     @classmethod
     def from_env(cls) -> "RunConfig":
@@ -49,6 +51,7 @@ class RunConfig:
             "BIOEM_DEBUG_OUTPUT": "debug_output",
             "BIOEM_TPU_MESH_IMAGES": "mesh_images",
             "BIOEM_TPU_MESH_ORIENT": "mesh_orient",
+            "BIOEM_TPU_PALLAS_IMG_TILE": "pallas_img_tile",
         }
         for env, attr in mapping.items():
             v = os.environ.get(env)

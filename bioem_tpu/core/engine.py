@@ -167,7 +167,11 @@ class BioEMEngine:
 
         # --- block sizes ---
         self.o_block = max(1, min(cfg.orient_block, n_orient))
-        if cfg.image_block > 0:
+        if cfg.use_pallas:
+            # The Pallas kernel tiles images in VMEM itself; the image-block
+            # size only sets the padding granularity (= the VMEM tile).
+            self.i_block = min(max(cfg.pallas_img_tile, 1), self.n_img)
+        elif cfg.image_block > 0:
             self.i_block = min(cfg.image_block, self.n_img)
         else:
             # Bound the (O, C, Ib, N, F) complex64 product tensor ≈ 1 GiB.
@@ -254,6 +258,32 @@ class BioEMEngine:
 
         prior = ctf_prior_term(banks.amp, banks.pha, banks.env, p)  # (C,) f64
         prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
+
+        n_img_local = banks.img_re.shape[0]
+        if self.cfg.use_pallas:
+            # Fused VMEM kernel over the whole local image bank: the
+            # (conv ⊙ img) cross-spectra never touch HBM.
+            from ..ops.compare_pallas import fused_displacement_cc
+
+            o, c = self.o_block, self.n_ctf
+            cc = fused_displacement_cc(
+                conv_re.reshape(o * c, n, p.n_fft_1d),
+                conv_im.reshape(o * c, n, p.n_fft_1d),
+                banks.img_re, banks.img_im,
+                banks.wx_re, banks.wx_im, banks.wy_re, banks.wy_im,
+                img_tile=self.i_block,
+            )
+            d = self.disp.shape[0]
+            cc = cc.reshape(o, c, n_img_local, d, d)
+            f0, k = logpro_constants(
+                sum_c, ssq_c, banks.sum_ref, banks.ssq_ref, prior_oc, ntot
+            )
+            m, se, ds, ccs = displacement_lse(cc, sum_c, banks.sum_ref, f0, ntot)
+            k = jnp.where(mask[:, None, None] != 0, k, -jnp.inf)
+            return merge_block(
+                state, m, se, ds, ccs, k, sum_c, ssq_c, banks.sum_ref,
+                banks.disp, orient_offset, ntot, d, ang_offset=ang_offset,
+            )
 
         def per_img_block(args):
             img_re_b, img_im_b, sref_b, ssref_b = args

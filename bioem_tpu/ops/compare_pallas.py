@@ -1,0 +1,132 @@
+"""Pallas TPU kernel: fused cross-spectrum × displacement-DFT contraction.
+
+The hot op of the posterior engine (reference comparison loop,
+/root/reference/bioem_cuda.cu:227-263 ``multComplexMap`` + batched cuFFT +
+displacement sweep) computes, for every (projection×CTF) ``oc`` and image
+``i``, the cross-correlation at the displacement lattice:
+
+    cc[oc, i, d, e] = Re( wx[d] @ (conv[oc] ⊙ img_fc[i]) @ wy[e]ᵀ )
+
+The XLA path (bioem_tpu.core.posterior.displacement_cc) materialises the
+pairwise product ``conv ⊙ img`` — an (OC, I, N, F) float32 tensor pair that
+round-trips HBM and dominates the runtime. This kernel tiles images into
+VMEM and sweeps the ``oc`` axis in the inner grid dimension, so the product
+lives only in registers/VMEM:
+
+    HBM traffic  XLA:    O(OC · I · N · F)      (the product tensors)
+                 Pallas: O((OC + I) · N · F)    (each operand read ~once)
+
+Complex arithmetic is split into real float32 (no complex dtypes on the
+TPU data path), and both DFT contractions run on the MXU with full-f32
+accumulation.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+def _fused_cc_kernel(
+    conv_re_ref, conv_im_ref, img_re_ref, img_im_ref,
+    wx_re_ref, wx_im_ref, wy_re_ref, wy_im_ref,
+    out_ref,
+):
+    cr = conv_re_ref[0]  # (N, F)
+    ci = conv_im_ref[0]
+    it = img_re_ref.shape[0]
+    wxr = wx_re_ref[:]  # (D, N)
+    wxi = wx_im_ref[:]
+    wyr_t = wy_re_ref[:].T  # (F, D)
+    wyi_t = wy_im_ref[:].T
+
+    # HIGHEST keeps the MXU in full-f32 passes — the default bf16 path loses
+    # ~3 decimal digits of cc, enough to move the displacement argmax (same
+    # policy as posterior.displacement_cc).
+    dot = partial(
+        jnp.dot,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+    # Static unrolled loop over the image tile. Contraction order puts the
+    # small displacement dim D on the matmul M side (sublanes, padded
+    # 21→24) instead of the lane side (21→128, 6× wasted MXU columns):
+    #   t1 = wx @ p        (D, N)·(N, F)
+    #   cc = Re(t1 @ wyᵀ)  (D, F)·(F, D)
+    for i in range(it):
+        ir = img_re_ref[i]  # (N, F)
+        ii = img_im_ref[i]
+        # Cross-spectrum product, VMEM-resident only.
+        p_re = cr * ir - ci * ii
+        p_im = cr * ii + ci * ir
+        t1_re = dot(wxr, p_re) - dot(wxi, p_im)  # (D, F)
+        t1_im = dot(wxr, p_im) + dot(wxi, p_re)
+        out_ref[0, i] = dot(t1_re, wyr_t) - dot(t1_im, wyi_t)  # (D, D)
+
+
+def fused_displacement_cc(
+    conv_re: jnp.ndarray,  # (OC, N, F) f32
+    conv_im: jnp.ndarray,
+    img_re: jnp.ndarray,  # (I, N, F) f32 — conj(rfft2(img))·h/N² prefolded
+    img_im: jnp.ndarray,
+    wx_re: jnp.ndarray,  # (D, N) f32
+    wx_im: jnp.ndarray,
+    wy_re: jnp.ndarray,  # (D, F) f32
+    wy_im: jnp.ndarray,
+    *,
+    img_tile: int = 8,
+    interpret: bool | None = None,
+) -> jnp.ndarray:
+    """cc[oc, i, d, e] — same contract as posterior.displacement_cc.
+
+    ``img_tile`` images are processed per grid step; I must be a multiple
+    (the engine pads its image bank). ``interpret`` defaults to True off-TPU
+    so the kernel is testable on the CPU mesh.
+    """
+    oc, n, f = conv_re.shape
+    n_img = img_re.shape[0]
+    d = wx_re.shape[0]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    img_tile = min(img_tile, n_img)
+    if n_img % img_tile:
+        raise ValueError(f"image count {n_img} not a multiple of tile {img_tile}")
+    n_it = n_img // img_tile
+
+    # Grid: images outer, oc inner — the image tile block stays resident in
+    # VMEM across the whole oc sweep (Pallas skips re-fetch when the block
+    # index is unchanged), so each image is read from HBM once per call.
+    # Index-map constants must be int32 derived from the grid indices: a
+    # literal 0 promotes to i64 under jax_enable_x64 (Mosaic rejects it) and
+    # captured int32 constants are disallowed, so use ``o * 0``.
+    grid = (n_it, oc)
+    conv_spec = pl.BlockSpec((1, n, f), lambda it, o: (o, o * 0, o * 0), memory_space=pltpu.VMEM)
+    img_spec = pl.BlockSpec((img_tile, n, f), lambda it, o: (it, o * 0, o * 0), memory_space=pltpu.VMEM)
+    wx_spec = pl.BlockSpec((d, n), lambda it, o: (o * 0, o * 0), memory_space=pltpu.VMEM)
+    wy_spec = pl.BlockSpec((d, f), lambda it, o: (o * 0, o * 0), memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        _fused_cc_kernel,
+        grid=grid,
+        in_specs=[conv_spec, conv_spec, img_spec, img_spec, wx_spec, wx_spec, wy_spec, wy_spec],
+        out_specs=pl.BlockSpec(
+            (1, img_tile, d, d), lambda it, o: (o, it, o * 0, o * 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((oc, n_img, d, d), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * oc * n_img * (4 * n * f * d + 2 * d * n * d),
+            bytes_accessed=4 * 2 * (oc + n_img * 2) * n * f,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(conv_re, conv_im, img_re, img_im, wx_re, wx_im, wy_re, wy_im)
+    return out

@@ -1,0 +1,81 @@
+"""Fused Pallas comparison kernel == XLA einsum path (interpret mode on CPU).
+
+The kernel (bioem_tpu/ops/compare_pallas.py) re-implements the hot op of the
+reference comparison loop (/root/reference/bioem_cuda.cu:227-263); the XLA
+path in bioem_tpu.core.posterior is the semantic spec.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bioem_tpu.config import RunConfig
+from bioem_tpu.core.engine import BioEMEngine
+from bioem_tpu.core.orientations import build_orientations
+from bioem_tpu.core.posterior import displacement_cc, displacement_dft_weights
+from bioem_tpu.ops.compare_pallas import fused_displacement_cc
+
+from .conftest import tiny_images, tiny_model, tiny_params
+
+
+def test_fused_cc_matches_einsum(rng):
+    o, c, i, n = 2, 3, 16, 24
+    f = n // 2 + 1
+    disp = np.array([0, 1, 2, -2, -1], np.int32)
+    wx, wy = displacement_dft_weights(n, disp)
+    conv_re = rng.normal(0, 1, (o, c, n, f)).astype(np.float32)
+    conv_im = rng.normal(0, 1, (o, c, n, f)).astype(np.float32)
+    img_re = rng.normal(0, 1, (i, n, f)).astype(np.float32)
+    img_im = rng.normal(0, 1, (i, n, f)).astype(np.float32)
+    a = jnp.asarray
+    args_w = (
+        a(wx.real.copy()), a(wx.imag.copy()), a(wy.real.copy()), a(wy.imag.copy())
+    )
+    ref = displacement_cc(
+        a(conv_re), a(conv_im), a(img_re), a(img_im), *args_w
+    )
+    fused = fused_displacement_cc(
+        a(conv_re.reshape(o * c, n, f)), a(conv_im.reshape(o * c, n, f)),
+        a(img_re), a(img_im), *args_w, img_tile=4,
+    ).reshape(o, c, i, len(disp), len(disp))
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=1e-4)
+
+
+def test_fused_cc_bad_tile_raises(rng):
+    n = 8
+    f = n // 2 + 1
+    disp = np.array([0], np.int32)
+    wx, wy = displacement_dft_weights(n, disp)
+    a = jnp.asarray
+    z = a(np.zeros((1, n, f), np.float32))
+    zi = a(np.zeros((3, n, f), np.float32))
+    with pytest.raises(ValueError, match="not a multiple"):
+        fused_displacement_cc(
+            z, z, zi, zi,
+            a(wx.real.copy()), a(wx.imag.copy()),
+            a(wy.real.copy()), a(wy.imag.copy()),
+            img_tile=2,
+        )
+
+
+def test_engine_pallas_matches_xla(rng):
+    """Full engine with use_pallas == default engine, to accumulator state."""
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 6, p.n_pixels)
+    orients = build_orientations(p)
+
+    eng_ref = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    eng_pl = BioEMEngine(
+        p, orients, model, images,
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=3),
+    )
+    r_ref = eng_ref.results(eng_ref.run())
+    r_pl = eng_pl.results(eng_pl.run())
+
+    np.testing.assert_allclose(r_pl.log_prob, r_ref.log_prob, rtol=1e-9, atol=1e-7)
+    np.testing.assert_array_equal(r_pl.best_orient, r_ref.best_orient)
+    np.testing.assert_array_equal(r_pl.best_conv, r_ref.best_conv)
+    np.testing.assert_array_equal(r_pl.best_cent_x, r_ref.best_cent_x)
+    np.testing.assert_array_equal(r_pl.best_cent_y, r_ref.best_cent_y)
+    np.testing.assert_allclose(r_pl.best_norm, r_ref.best_norm, rtol=1e-5)
