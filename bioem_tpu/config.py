@@ -34,10 +34,17 @@ class RunConfig:
     mesh_orient: int = 1
     # Autotune block sizes before the main run.
     autotune: bool = False
-    # Use the fused Pallas comparison kernel where available.
-    use_pallas: bool = False
+    # Use the fused Pallas comparison kernel. None = auto: on for TPU
+    # backends (it wins there), off elsewhere (interpret mode is slow).
+    use_pallas: Optional[bool] = None
     # Images per Pallas grid step (VMEM-resident image tile).
     pallas_img_tile: int = 8
+    # Checkpoint/resume of the streaming accumulator state (improves on the
+    # reference, which restarts long runs from scratch on failure).
+    checkpoint_path: str = ""
+    checkpoint_every: int = 0  # orientation blocks between checkpoints
+    # jax.profiler trace output dir (NVTX analogue); empty = off.
+    profile_dir: str = ""
 
     @classmethod
     def from_env(cls) -> "RunConfig":
@@ -52,11 +59,14 @@ class RunConfig:
             "BIOEM_TPU_MESH_IMAGES": "mesh_images",
             "BIOEM_TPU_MESH_ORIENT": "mesh_orient",
             "BIOEM_TPU_PALLAS_IMG_TILE": "pallas_img_tile",
+            "BIOEM_TPU_CHECKPOINT_EVERY": "checkpoint_every",
         }
         for env, attr in mapping.items():
             v = os.environ.get(env)
             if v is not None:
                 setattr(cfg, attr, int(v))
+        cfg.checkpoint_path = os.environ.get("BIOEM_TPU_CHECKPOINT", "")
+        cfg.profile_dir = os.environ.get("BIOEM_TPU_PROFILE_DIR", "")
         if os.environ.get("BIOEM_TPU_AUTOTUNE"):
             cfg.autotune = bool(int(os.environ["BIOEM_TPU_AUTOTUNE"]))
         if os.environ.get("BIOEM_TPU_PALLAS"):

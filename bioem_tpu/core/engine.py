@@ -127,6 +127,13 @@ class BioEMEngine:
         cfg = cfg or RunConfig()
         self.cfg = cfg
         self.p = p
+        # Kernel choice: fused Pallas wins on TPU; the XLA einsum path is the
+        # portable default elsewhere (Pallas interpret mode is slow).
+        self.use_pallas = (
+            cfg.use_pallas
+            if cfg.use_pallas is not None
+            else jax.default_backend() == "tpu"
+        )
 
         # Debug reductions (reference bioem.cpp:518-525, map.cpp:545-548)
         grid = make_ctf_grid(p)
@@ -167,7 +174,7 @@ class BioEMEngine:
 
         # --- block sizes ---
         self.o_block = max(1, min(cfg.orient_block, n_orient))
-        if cfg.use_pallas:
+        if self.use_pallas:
             # The Pallas kernel tiles images in VMEM itself; the image-block
             # size only sets the padding granularity (= the VMEM tile).
             self.i_block = min(max(cfg.pallas_img_tile, 1), self.n_img)
@@ -239,6 +246,13 @@ class BioEMEngine:
         self._step = jax.jit(self._block_step, donate_argnums=(0,))
         self._scan_run = jax.jit(self._run_scan, donate_argnums=(0,))
 
+        if cfg.checkpoint_path:
+            from ..runtime.checkpoint import problem_fingerprint
+
+            self._fingerprint = problem_fingerprint(p, orients, model, images, cfg)
+        else:
+            self._fingerprint = ""
+
     # ------------------------------------------------------------------
     def _block_step(self, state: PosteriorState, banks: Banks, angles, orient_offset, mask, ang_offset=None):
         p = self.p
@@ -260,18 +274,25 @@ class BioEMEngine:
         prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
 
         n_img_local = banks.img_re.shape[0]
-        if self.cfg.use_pallas:
+        if self.use_pallas:
             # Fused VMEM kernel over the whole local image bank: the
             # (conv ⊙ img) cross-spectra never touch HBM.
             from ..ops.compare_pallas import fused_displacement_cc
 
             o, c = self.o_block, self.n_ctf
+            # Stride-fold: displacements are multiples of the lattice stride
+            # s, so when s | N the wx weights have period N/s and the kernel
+            # folds p rows before the matmul (s× fewer MXU flops).
+            s = p.grid_space_center
+            n_fold = s if (s > 1 and n % s == 0) else 1
             cc = fused_displacement_cc(
                 conv_re.reshape(o * c, n, p.n_fft_1d),
                 conv_im.reshape(o * c, n, p.n_fft_1d),
                 banks.img_re, banks.img_im,
-                banks.wx_re, banks.wx_im, banks.wy_re, banks.wy_im,
+                banks.wx_re[:, : n // n_fold], banks.wx_im[:, : n // n_fold],
+                banks.wy_re, banks.wy_im,
                 img_tile=self.i_block,
+                n_fold=n_fold,
             )
             d = self.disp.shape[0]
             cc = cc.reshape(o, c, n_img_local, d, d)
@@ -345,22 +366,47 @@ class BioEMEngine:
 
     def run(self, progress: bool = False) -> PosteriorState:
         state = self.initial_state()
-        if progress or self.cfg.debug_output >= 1:
+        ckpt = self.cfg.checkpoint_path
+        if ckpt or progress or self.cfg.debug_output >= 1:
             import time
 
+            from ..utils.timestat import TimeStat
+
+            ts = TimeStat()
             nblk = self.ang_blocks.shape[0]
-            for b in range(nblk):
-                t0 = time.perf_counter()
-                state = self._step(
-                    state, self.banks, self.ang_blocks[b], self.offsets[b],
-                    self.mask_blocks[b],
-                )
+            start_block = 0
+            if ckpt:
+                from ..runtime.checkpoint import load_checkpoint, save_checkpoint
+
+                loaded = load_checkpoint(ckpt, self._fingerprint)
+                if loaded is not None:
+                    state, start_block = loaded
+                    if self.cfg.debug_output >= 1:
+                        print(f"Resuming from checkpoint at block {start_block}/{nblk}")
+                every = max(1, self.cfg.checkpoint_every or 16)
+            for b in range(start_block, nblk):
+                with ts.time("BLOCK"):
+                    state = self._step(
+                        state, self.banks, self.ang_blocks[b], self.offsets[b],
+                        self.mask_blocks[b],
+                    )
+                    if self.cfg.debug_output >= 2 or (
+                        ckpt and ((b + 1) % every == 0 or b == nblk - 1)
+                    ):
+                        jax.block_until_ready(state.total)
                 if self.cfg.debug_output >= 2:
-                    jax.block_until_ready(state.total)
                     print(
                         f"\tTime orientation block {b}/{nblk}: "
-                        f"{time.perf_counter() - t0:.4f}"
+                        f"{ts.phases['BLOCK'][-1]:.4f}"
                     )
+                if ckpt and ((b + 1) % every == 0 or b == nblk - 1):
+                    with ts.time("CHECKPOINT"):
+                        host = PosteriorState(
+                            *(np.asarray(v) if v is not None else None for v in state)
+                        )
+                        save_checkpoint(ckpt, host, b + 1, self._fingerprint)
+            if self.cfg.debug_output >= 1 and ts.phases:
+                print(ts.summary())
             return state
         return self._scan_run(
             state, self.banks, self.ang_blocks, self.offsets, self.mask_blocks

@@ -39,14 +39,16 @@ def _fused_cc_kernel(
     conv_re_ref, conv_im_ref, img_re_ref, img_im_ref,
     wx_re_ref, wx_im_ref, wy_re_ref, wy_im_ref,
     out_ref,
+    *, n_fold: int,
 ):
     cr = conv_re_ref[0]  # (N, F)
     ci = conv_im_ref[0]
     it = img_re_ref.shape[0]
-    wxr = wx_re_ref[:]  # (D, N)
+    wxr = wx_re_ref[:]  # (D, N/n_fold)
     wxi = wx_im_ref[:]
     wyr_t = wy_re_ref[:].T  # (F, D)
     wyi_t = wy_im_ref[:].T
+    m = wxr.shape[1]
 
     # HIGHEST keeps the MXU in full-f32 passes — the default bf16 path loses
     # ~3 decimal digits of cc, enough to move the displacement argmax (same
@@ -60,14 +62,20 @@ def _fused_cc_kernel(
     # Static unrolled loop over the image tile. Contraction order puts the
     # small displacement dim D on the matmul M side (sublanes, padded
     # 21→24) instead of the lane side (21→128, 6× wasted MXU columns):
-    #   t1 = wx @ p        (D, N)·(N, F)
+    #   t1 = wx @ fold(p)  (D, N/s)·(N/s, F)
     #   cc = Re(t1 @ wyᵀ)  (D, F)·(F, D)
+    # fold(p): every displacement is a multiple of the lattice stride s, so
+    # wx rows have period N/s in n — p rows n and n + k·N/s share a weight
+    # and are summed on the VPU before the matmul (s× fewer MXU flops).
     for i in range(it):
         ir = img_re_ref[i]  # (N, F)
         ii = img_im_ref[i]
         # Cross-spectrum product, VMEM-resident only.
         p_re = cr * ir - ci * ii
         p_im = cr * ii + ci * ir
+        if n_fold > 1:
+            p_re = sum(p_re[k * m:(k + 1) * m] for k in range(n_fold))
+            p_im = sum(p_im[k * m:(k + 1) * m] for k in range(n_fold))
         t1_re = dot(wxr, p_re) - dot(wxi, p_im)  # (D, F)
         t1_im = dot(wxr, p_im) + dot(wxi, p_re)
         out_ref[0, i] = dot(t1_re, wyr_t) - dot(t1_im, wyi_t)  # (D, D)
@@ -84,17 +92,25 @@ def fused_displacement_cc(
     wy_im: jnp.ndarray,
     *,
     img_tile: int = 8,
+    n_fold: int = 1,
     interpret: bool | None = None,
 ) -> jnp.ndarray:
     """cc[oc, i, d, e] — same contract as posterior.displacement_cc.
 
     ``img_tile`` images are processed per grid step; I must be a multiple
-    (the engine pads its image bank). ``interpret`` defaults to True off-TPU
+    (the engine pads its image bank). ``n_fold`` > 1 enables the stride-fold
+    optimisation: pass wx with N/n_fold columns (the first N/n_fold columns
+    of the full weight matrix — valid when every displacement is a multiple
+    of n_fold and n_fold divides N). ``interpret`` defaults to True off-TPU
     so the kernel is testable on the CPU mesh.
     """
     oc, n, f = conv_re.shape
     n_img = img_re.shape[0]
     d = wx_re.shape[0]
+    if wx_re.shape[1] * n_fold != n:
+        raise ValueError(
+            f"wx has {wx_re.shape[1]} columns, expected N/n_fold = {n}/{n_fold}"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     img_tile = min(img_tile, n_img)
@@ -111,11 +127,11 @@ def fused_displacement_cc(
     grid = (n_it, oc)
     conv_spec = pl.BlockSpec((1, n, f), lambda it, o: (o, o * 0, o * 0), memory_space=pltpu.VMEM)
     img_spec = pl.BlockSpec((img_tile, n, f), lambda it, o: (it, o * 0, o * 0), memory_space=pltpu.VMEM)
-    wx_spec = pl.BlockSpec((d, n), lambda it, o: (o * 0, o * 0), memory_space=pltpu.VMEM)
+    wx_spec = pl.BlockSpec((d, n // n_fold), lambda it, o: (o * 0, o * 0), memory_space=pltpu.VMEM)
     wy_spec = pl.BlockSpec((d, f), lambda it, o: (o * 0, o * 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        _fused_cc_kernel,
+        partial(_fused_cc_kernel, n_fold=n_fold),
         grid=grid,
         in_specs=[conv_spec, conv_spec, img_spec, img_spec, wx_spec, wx_spec, wy_spec, wy_spec],
         out_specs=pl.BlockSpec(

@@ -46,10 +46,20 @@ def run_bioem(
 
     ``results.grid`` carries the CTF parameter grid for the output writers.
     """
+    cfg = cfg or RunConfig.from_env()
+    if cfg.autotune and cfg.mesh_images * cfg.mesh_orient == 1:
+        from .runtime.autotune import autotune_config
+
+        cfg = autotune_config(
+            p, orients, model, images, cfg, verbose=cfg.debug_output >= 1
+        )
     eng = make_engine(p, orients, model, images, cfg)
+    from .utils.timestat import profile_trace
+
     t0 = time.perf_counter()
-    state = eng.run()
-    jax.block_until_ready(state.total)
+    with profile_trace(cfg.profile_dir):
+        state = eng.run()
+        jax.block_until_ready(state.total)
     run_s = time.perf_counter() - t0
     results = eng.results(state)
     results.grid = eng.grid

@@ -58,6 +58,24 @@ def test_fused_cc_bad_tile_raises(rng):
         )
 
 
+def test_engine_pallas_fold_matches_xla(rng):
+    """Stride-fold path (grid_space_center=2 divides N) == XLA engine."""
+    p = tiny_params(max_displace_center=4, grid_space_center=2)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    eng_ref = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    eng_pl = BioEMEngine(
+        p, orients, model, images,
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2),
+    )
+    r_ref = eng_ref.results(eng_ref.run())
+    r_pl = eng_pl.results(eng_pl.run())
+    np.testing.assert_allclose(r_pl.log_prob, r_ref.log_prob, rtol=1e-9, atol=1e-7)
+    np.testing.assert_array_equal(r_pl.best_cent_x, r_ref.best_cent_x)
+    np.testing.assert_array_equal(r_pl.best_cent_y, r_ref.best_cent_y)
+
+
 def test_engine_pallas_matches_xla(rng):
     """Full engine with use_pallas == default engine, to accumulator state."""
     p = tiny_params()

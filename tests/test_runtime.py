@@ -1,0 +1,94 @@
+"""Checkpoint/resume, autotuner, and TimeStat tests."""
+
+import numpy as np
+
+from bioem_tpu.config import RunConfig
+from bioem_tpu.core.engine import BioEMEngine
+from bioem_tpu.core.orientations import build_orientations
+from bioem_tpu.runtime.autotune import autotune_config
+from bioem_tpu.runtime.checkpoint import (
+    load_checkpoint,
+    problem_fingerprint,
+    save_checkpoint,
+)
+from bioem_tpu.utils.timestat import TimeStat
+
+from .conftest import tiny_images, tiny_model, tiny_params
+
+
+def test_checkpoint_resume_matches_straight_run(rng, tmp_path):
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+
+    cfg_plain = RunConfig(orient_block=1)
+    eng = BioEMEngine(p, orients, model, images, cfg_plain)
+    ref = eng.results(eng.run())
+
+    ckpt = str(tmp_path / "state.npz")
+    cfg_ck = RunConfig(orient_block=1, checkpoint_path=ckpt, checkpoint_every=2)
+    eng1 = BioEMEngine(p, orients, model, images, cfg_ck)
+
+    # Simulate a crash: run only the first 3 blocks manually, checkpointing.
+    from bioem_tpu.core.posterior import PosteriorState
+    from bioem_tpu.runtime.checkpoint import save_checkpoint as save
+
+    state = eng1.initial_state()
+    for b in range(3):
+        state = eng1._step(
+            state, eng1.banks, eng1.ang_blocks[b], eng1.offsets[b],
+            eng1.mask_blocks[b],
+        )
+    host = PosteriorState(*(np.asarray(v) if v is not None else None for v in state))
+    save(ckpt, host, 3, eng1._fingerprint)
+
+    # Fresh engine resumes from block 3 and must match the straight run.
+    eng2 = BioEMEngine(p, orients, model, images, cfg_ck)
+    res = eng2.results(eng2.run())
+    np.testing.assert_allclose(res.log_prob, ref.log_prob, rtol=1e-12)
+    np.testing.assert_array_equal(res.best_orient, ref.best_orient)
+
+
+def test_checkpoint_fingerprint_mismatch_ignored(rng, tmp_path):
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 2, p.n_pixels)
+    orients = build_orientations(p)
+    cfg = RunConfig(orient_block=1, checkpoint_path=str(tmp_path / "s.npz"))
+    eng = BioEMEngine(p, orients, model, images, cfg)
+    state = eng.initial_state()
+    from bioem_tpu.core.posterior import PosteriorState
+
+    host = PosteriorState(*(np.asarray(v) if v is not None else None for v in state))
+    save_checkpoint(cfg.checkpoint_path, host, 2, "not-the-right-fingerprint")
+    assert load_checkpoint(cfg.checkpoint_path, eng._fingerprint) is None
+    # run() must ignore the stale checkpoint and still produce finite output
+    res = eng.results(eng.run())
+    assert np.isfinite(res.log_prob).all()
+
+
+def test_autotune_returns_runnable_config(rng):
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    cfg = RunConfig(orient_block=1, autotune=True)
+    cands = [
+        RunConfig(orient_block=1),
+        RunConfig(orient_block=2),
+    ]
+    best = autotune_config(p, orients, model, images, cfg, candidates=cands, blocks=1, repeats=1)
+    assert best in cands
+    eng = BioEMEngine(p, orients, model, images, best)
+    res = eng.results(eng.run())
+    assert np.isfinite(res.log_prob).all()
+
+
+def test_timestat_summary():
+    ts = TimeStat()
+    with ts.time("BLOCK"):
+        pass
+    ts.add("BLOCK", 0.5)
+    s = ts.summary()
+    assert "BLOCK" in s and "mean" in s and "n=2" in s
