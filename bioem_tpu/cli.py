@@ -94,6 +94,24 @@ def build_parser() -> argparse.ArgumentParser:
     return ap
 
 
+def write_rotated_models(model, orients, out) -> None:
+    """PRINT_ROTATED_MODELS debug output (reference bioem.cpp:1695-1702):
+    'ROTATED iOrient iPoint x y z' per rotated model point."""
+    import jax.numpy as jnp
+
+    from .core.orientations import rotation_matrices
+
+    rotms = np.asarray(
+        rotation_matrices(jnp.asarray(orients.angles), orients.use_quaternions)
+    )
+    for imap in range(orients.n):
+        rot = model.points @ rotms[imap].T
+        for k in range(model.n_points):
+            out.write(
+                f"ROTATED {imap} {k} {rot[k, 0]:g} {rot[k, 1]:g} {rot[k, 2]:g}\n"
+            )
+
+
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = RunConfig.from_env()
@@ -165,6 +183,8 @@ def main(argv=None) -> int:
     from .core.orientations import build_orientations
 
     orients = build_orientations(p, args.ReadOrientation)
+    if p.print_rotated_models:
+        write_rotated_models(model, orients, sys.stdout)
     if cfg.debug_output >= 1:
         print(f"Setup time: {time.perf_counter() - t0:.2f}s")
 
