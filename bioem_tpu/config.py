@@ -18,7 +18,7 @@ from typing import Optional
 class RunConfig:
     # Orientations processed per jitted device step (reference analogue:
     # BIOEM_PROJ_CONV_AT_ONCE, bioem.cpp:105-121).
-    orient_block: int = 4
+    orient_block: int = 8
     # Images per inner scan step; 0 = all images at once.
     image_block: int = 0
     # CTF kernels per inner step; 0 = whole bank.
@@ -38,7 +38,7 @@ class RunConfig:
     # backends (it wins there), off elsewhere (interpret mode is slow).
     use_pallas: Optional[bool] = None
     # Images per Pallas grid step (VMEM-resident image tile).
-    pallas_img_tile: int = 8
+    pallas_img_tile: int = 16
     # Checkpoint/resume of the streaming accumulator state (improves on the
     # reference, which restarts long runs from scratch on failure).
     checkpoint_path: str = ""
