@@ -56,8 +56,13 @@ def build_problem():
     rng = np.random.default_rng(0)
     npts = 500  # ~protein-complex Cα count
     pts = rng.uniform(-80, 80, (npts, 3)).astype(np.float32)
-    radii = rng.uniform(2.2, 3.4, npts).astype(np.float32)
-    dens = rng.uniform(40, 110, npts).astype(np.float32)
+    # Radii/densities drawn from the PDB residue tables (the production
+    # model shape: ≤20 distinct radii, reference model.cpp:738-844).
+    from bioem_tpu.io.model_io import AA_DENSITY, AA_RADIUS
+
+    residues = rng.choice(list(AA_RADIUS), npts)
+    radii = np.array([AA_RADIUS[r] for r in residues], np.float32)
+    dens = np.array([AA_DENSITY[r] for r in residues], np.float32)
     model = Model(pts, radii, dens, float(dens.sum())).center_density_mass()
     maps = rng.normal(0, 1, (N_IMG, N_PIXELS, N_PIXELS)).astype(np.float32)
     images = ImageStack(maps)

@@ -45,6 +45,9 @@ class RunConfig:
     checkpoint_every: int = 0  # orientation blocks between checkpoints
     # jax.profiler trace output dir (NVTX analogue); empty = off.
     profile_dir: str = ""
+    # Projection backend: "auto" (Fourier when the model has <= 32 distinct
+    # radii, else raster), "fourier", or "raster".
+    projection: str = "auto"
 
     @classmethod
     def from_env(cls) -> "RunConfig":
@@ -67,6 +70,7 @@ class RunConfig:
                 setattr(cfg, attr, int(v))
         cfg.checkpoint_path = os.environ.get("BIOEM_TPU_CHECKPOINT", "")
         cfg.profile_dir = os.environ.get("BIOEM_TPU_PROFILE_DIR", "")
+        cfg.projection = os.environ.get("BIOEM_TPU_PROJECTION", "auto")
         if os.environ.get("BIOEM_TPU_AUTOTUNE"):
             cfg.autotune = bool(int(os.environ["BIOEM_TPU_AUTOTUNE"]))
         if os.environ.get("BIOEM_TPU_PALLAS"):

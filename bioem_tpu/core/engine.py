@@ -52,7 +52,13 @@ from .posterior import (
     logpro_constants,
     merge_block,
 )
-from .projection import ProjectionSpec, make_projection_spec, project_batch
+from .projection import (
+    ProjectionSpec,
+    make_fourier_projection_spec,
+    make_projection_spec,
+    project_batch,
+    project_fourier_batch,
+)
 
 F32 = jnp.float32
 F64 = jnp.float64
@@ -80,10 +86,12 @@ class Banks(NamedTuple):
     amp: jnp.ndarray  # (C,) f32
     pha: jnp.ndarray
     env: jnp.ndarray
-    points: jnp.ndarray  # (P, 3) f32
+    points: jnp.ndarray  # (P, 3) f32 (radius-sorted when Fourier projection)
     radii: jnp.ndarray  # (P,) f32
     dens: jnp.ndarray  # (P,) f32
     norm_den: jnp.ndarray  # scalar f32
+    st_re: jnp.ndarray  # (U, N, F) f32 radius-group stencil DFTs (Fourier
+    st_im: jnp.ndarray  # projection path; (1, 1, 1) dummies otherwise)
 
 
 @dataclass
@@ -198,6 +206,27 @@ class BioEMEngine:
         blk_mult = self.o_block * getattr(self, "n_orient_shards", 1)
         self.n_orient_pad = _cdiv(n_orient, blk_mult) * blk_mult
 
+        # Fourier-space projection: exact, raster+FFT-free; needs few
+        # distinct radii (see projection.py). Falls back to the raster.
+        self.fspec = None
+        model_points = model.points
+        model_radii = model.radii
+        model_dens = model.densities
+        st_re = st_im = np.zeros((1, 1, 1), np.float32)
+        if cfg.projection in ("auto", "fourier"):
+            fp = make_fourier_projection_spec(p, model.radii)
+            if fp is not None:
+                self.fspec, sort_idx, st = fp
+                model_points = model.points[sort_idx]
+                model_radii = model.radii[sort_idx]
+                model_dens = model.densities[sort_idx]
+                st_re = np.ascontiguousarray(st.real)
+                st_im = np.ascontiguousarray(st.imag)
+            elif cfg.projection == "fourier":
+                raise ValueError(
+                    "projection='fourier' requires <= 32 distinct radii"
+                )
+
         # --- device constants (explicit jit arguments, see Banks) ---
         # Complex banks are shipped as split real/imag float32: complex
         # buffers must not cross the host↔device boundary (unsupported on
@@ -218,10 +247,12 @@ class BioEMEngine:
             amp=jnp.asarray(grid.amp[:n_ctf]),
             pha=jnp.asarray(grid.phase[:n_ctf]),
             env=jnp.asarray(grid.env[:n_ctf]),
-            points=jnp.asarray(model.points),
-            radii=jnp.asarray(model.radii),
-            dens=jnp.asarray(model.densities),
+            points=jnp.asarray(model_points),
+            radii=jnp.asarray(model_radii),
+            dens=jnp.asarray(model_dens),
             norm_den=jnp.float32(model.norm_den),
+            st_re=jnp.asarray(st_re),
+            st_im=jnp.asarray(st_im),
         )
 
         self.spec = make_projection_spec(p, model.radii)
@@ -260,11 +291,17 @@ class BioEMEngine:
         ntot = p.n_total_pixels
 
         rotm = rotation_matrices(angles, self.orients.use_quaternions)
-        proj = project_batch(
-            self.spec, rotm, banks.points, banks.radii, banks.dens, banks.norm_den
-        )
-        proj_f = jnp.fft.rfft2(proj)  # (O, N, F) complex — device-internal only
-        pr, pi = jnp.real(proj_f).astype(F32), jnp.imag(proj_f).astype(F32)
+        if self.fspec is not None:
+            pr, pi = project_fourier_batch(
+                self.fspec, rotm, banks.points, banks.radii, banks.dens,
+                banks.norm_den, banks.st_re, banks.st_im,
+            )
+        else:
+            proj = project_batch(
+                self.spec, rotm, banks.points, banks.radii, banks.dens, banks.norm_den
+            )
+            proj_f = jnp.fft.rfft2(proj)  # (O, N, F) complex — device-internal
+            pr, pi = jnp.real(proj_f).astype(F32), jnp.imag(proj_f).astype(F32)
         # conv = proj · conj(ctf) (reference bioem.cpp:1879-1883), split form
         conv_re = pr[:, None] * banks.ctf_re[None] + pi[:, None] * banks.ctf_im[None]
         conv_im = pi[:, None] * banks.ctf_re[None] - pr[:, None] * banks.ctf_im[None]

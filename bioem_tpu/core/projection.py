@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import math
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -181,3 +182,154 @@ def project_batch(
     return jax.vmap(lambda rm: project_one(spec, rm, points, radii, densities, norm_den))(
         rotmats
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourier-space projection (radius-grouped)
+# ---------------------------------------------------------------------------
+#
+# The raster + rfft2 pipeline collapses analytically: every point deposits a
+# *fixed integer stencil* (depending only on its radius) at integer pixel
+# (i0, j0), so the projection's rfft2 is
+#
+#     proj_f[k1, k2] = (NormDen/tempden) · Σ_r Ŝ_r[k1, k2] ⊙
+#                      Σ_{p∈r} dens_p · e^{−2πi(k1·i0_p + k2·j0_p)/N}
+#
+# with Ŝ_r the DFT of radius-group r's unit-density stencil (precomputed on
+# the host) and the inner sum a complex outer product — i.e. one MXU matmul
+# Exᵀ(N, P_r) @ Ey(P_r, F) per radius group. Exact w.r.t. the raster path
+# (same rounding, same bounds-skip semantics — valid windows never wrap), it
+# replaces the scatter/one-hot raster AND the FFT. Applicable when the model
+# has few distinct radii (PDB: ≤20 residue radii; voxel models: 1); the
+# engine falls back to the raster for continuous-radius models.
+
+
+@dataclass(frozen=True)
+class FourierProjectionSpec:
+    n_pixels: int
+    pixel_size: float
+    shift_x: int
+    shift_y: int
+    # static group slices into the radius-sorted point arrays
+    group_bounds: tuple  # ((start, end), ...) per group
+    stencil_sums: tuple  # Σ of each group's unit-density stencil
+
+
+MAX_RADIUS_GROUPS = 32
+
+
+def _unit_stencil(radius: float, pix: float) -> np.ndarray:
+    """Unit-density footprint of one sphere (reference bioem.cpp:1744-1803)."""
+    if radius <= pix:
+        return np.ones((1, 1), np.float64)
+    irad = int(radius / pix) + 1
+    du = np.arange(-irad, irad + 1)
+    dist = (du[:, None] ** 2 + du[None, :] ** 2).astype(np.float64) * pix * pix
+    rad2 = float(radius) ** 2
+    chord = pix * pix * 2.0 * np.sqrt(np.maximum(rad2 - dist, 0.0)) * 3.0 / (
+        4.0 * math.pi * radius * rad2
+    )
+    return np.where(dist < rad2, chord, 0.0)
+
+
+def make_fourier_projection_spec(p, radii: np.ndarray):
+    """(spec, sort_idx, stencil_dfts) or None if too many radius groups.
+
+    sort_idx reorders the model arrays so each radius group is contiguous;
+    stencil_dfts is a (U, N, F) complex64 table of group-stencil DFTs.
+    """
+    uniq, inverse = np.unique(np.asarray(radii, np.float32), return_inverse=True)
+    if uniq.size > MAX_RADIUS_GROUPS:
+        return None
+    sort_idx = np.argsort(inverse, kind="stable")
+    sorted_groups = inverse[sort_idx]
+    n, nf = p.n_pixels, p.n_fft_1d
+    bounds, dfts, sums = [], [], []
+    for g in range(uniq.size):
+        members = np.nonzero(sorted_groups == g)[0]
+        bounds.append((int(members[0]), int(members[-1]) + 1))
+        st = _unit_stencil(float(uniq[g]), p.pixel_size)
+        s_half = st.shape[0] // 2
+        du = np.arange(-s_half, s_half + 1)
+        k1 = np.arange(n)[:, None]
+        k2 = np.arange(nf)[None, :]
+        phx = np.exp(-2j * np.pi * np.outer(k1.ravel(), du) / n)  # (N, S)
+        phy = np.exp(-2j * np.pi * np.outer(k2.ravel(), du) / n)  # (F, S)
+        dfts.append((phx @ st.astype(np.complex128) @ phy.T).astype(np.complex64))
+        sums.append(float(st.sum()))
+    spec = FourierProjectionSpec(
+        n_pixels=n,
+        pixel_size=p.pixel_size,
+        shift_x=p.shift_x,
+        shift_y=p.shift_y,
+        group_bounds=tuple(bounds),
+        stencil_sums=tuple(sums),
+    )
+    return spec, sort_idx, np.stack(dfts)
+
+
+def project_fourier_one(
+    fspec: FourierProjectionSpec,
+    rotmat: jnp.ndarray,  # (3, 3)
+    points: jnp.ndarray,  # (P, 3) radius-sorted
+    radii: jnp.ndarray,  # (P,) radius-sorted
+    densities: jnp.ndarray,  # (P,) radius-sorted
+    norm_den: jnp.ndarray,
+    st_re: jnp.ndarray,  # (U, N, F) stencil DFT table
+    st_im: jnp.ndarray,
+):
+    """rfft2 of the projection, split (re, im) float32 (N, F) pair."""
+    n = fspec.n_pixels
+    pix = jnp.float32(fspec.pixel_size)
+    rot = points @ rotmat.T
+    x, y = rot[:, 0], rot[:, 1]
+    half = jnp.float32(n) / 2.0
+    i_raw = jnp.floor(x / pix + half + 0.5).astype(jnp.int32)
+    j_raw = jnp.floor(y / pix + half + 0.5).astype(jnp.int32)
+    small = radii <= pix
+    irad = (radii / pix).astype(jnp.int32) + 1
+    i0 = jnp.where(small, i_raw, i_raw - fspec.shift_x)
+    j0 = jnp.where(small, j_raw, j_raw - fspec.shift_y)
+    valid_small = (i_raw >= 0) & (j_raw >= 0) & (i_raw < n) & (j_raw < n)
+    valid_large = (i0 >= irad) & (j0 >= irad) & (i0 < n - irad) & (j0 < n - irad)
+    dens_eff = jnp.where(
+        jnp.where(small, valid_small, valid_large), densities, 0.0
+    )
+
+    k1 = jnp.arange(n, dtype=jnp.float32)
+    k2 = jnp.arange(n // 2 + 1, dtype=jnp.float32)
+    two_pi_n = jnp.float32(2.0 * math.pi / n)
+    ax = -two_pi_n * i0.astype(jnp.float32)[:, None] * k1[None, :]  # (P, N)
+    ay = -two_pi_n * j0.astype(jnp.float32)[:, None] * k2[None, :]  # (P, F)
+    # Fold density into the row phases.
+    ex_re = jnp.cos(ax) * dens_eff[:, None]
+    ex_im = jnp.sin(ax) * dens_eff[:, None]
+    ey_re, ey_im = jnp.cos(ay), jnp.sin(ay)
+
+    hi = jax.lax.Precision.HIGHEST
+    nf = n // 2 + 1
+    proj_re = jnp.zeros((n, nf), jnp.float32)
+    proj_im = jnp.zeros((n, nf), jnp.float32)
+    tempden = jnp.float32(0.0)
+    for g, (start, end) in enumerate(fspec.group_bounds):
+        exr, exi = ex_re[start:end], ex_im[start:end]  # (Pg, N)
+        eyr, eyi = ey_re[start:end], ey_im[start:end]  # (Pg, F)
+        dot = partial(jnp.dot, preferred_element_type=jnp.float32, precision=hi)
+        s_re = dot(exr.T, eyr) - dot(exi.T, eyi)  # (N, F)
+        s_im = dot(exr.T, eyi) + dot(exi.T, eyr)
+        proj_re = proj_re + st_re[g] * s_re - st_im[g] * s_im
+        proj_im = proj_im + st_re[g] * s_im + st_im[g] * s_re
+        tempden = tempden + jnp.float32(fspec.stencil_sums[g]) * jnp.sum(
+            dens_eff[start:end]
+        )
+    scale = norm_den / tempden
+    return proj_re * scale, proj_im * scale
+
+
+def project_fourier_batch(fspec, rotmats, points, radii, densities, norm_den, st_re, st_im):
+    """(O, N, F) split-complex rfft2 projections for an orientation block."""
+    return jax.vmap(
+        lambda rm: project_fourier_one(
+            fspec, rm, points, radii, densities, norm_den, st_re, st_im
+        )
+    )(rotmats)

@@ -23,6 +23,7 @@ accumulation.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -33,6 +34,17 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _mxu_precision():
+    """MXU precision for the DFT contractions. HIGHEST (full f32) is the
+    default and the only mode that keeps the displacement argmax stable;
+    BIOEM_TPU_MXU_PRECISION=default selects single-pass bf16 (~1e-3 relative
+    cc error — benchmarking only). Mosaic does not implement HIGH."""
+    return {
+        "default": jax.lax.Precision.DEFAULT,
+        "highest": jax.lax.Precision.HIGHEST,
+    }[os.environ.get("BIOEM_TPU_MXU_PRECISION", "highest").lower()]
 
 
 def _fused_cc_kernel(
@@ -52,11 +64,11 @@ def _fused_cc_kernel(
 
     # HIGHEST keeps the MXU in full-f32 passes — the default bf16 path loses
     # ~3 decimal digits of cc, enough to move the displacement argmax (same
-    # policy as posterior.displacement_cc).
+    # policy as posterior.displacement_cc). Overridable, see _mxu_precision.
     dot = partial(
         jnp.dot,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=_mxu_precision(),
     )
 
     # Static unrolled loop over the image tile. Contraction order puts the
