@@ -10,7 +10,7 @@ precision and mesh options, overridable via ``BIOEM_TPU_*`` env vars.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field, fields
+from dataclasses import dataclass
 from typing import Optional
 
 
@@ -21,8 +21,6 @@ class RunConfig:
     orient_block: int = 8
     # Images per inner scan step; 0 = all images at once.
     image_block: int = 0
-    # CTF kernels per inner step; 0 = whole bank.
-    conv_block: int = 0
     # Debug reductions (reference BIOEM_DEBUG_BREAK / BIOEM_DEBUG_NMAPS,
     # bioem.cpp:518-525, map.cpp:545-548).
     debug_break: int = 0  # cap on n_orientations and n_ctfs
@@ -55,7 +53,6 @@ class RunConfig:
         mapping = {
             "BIOEM_TPU_ORIENT_BLOCK": "orient_block",
             "BIOEM_TPU_IMAGE_BLOCK": "image_block",
-            "BIOEM_TPU_CONV_BLOCK": "conv_block",
             "BIOEM_DEBUG_BREAK": "debug_break",
             "BIOEM_DEBUG_NMAPS": "debug_nmaps",
             "BIOEM_DEBUG_OUTPUT": "debug_output",

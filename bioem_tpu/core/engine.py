@@ -216,10 +216,11 @@ class BioEMEngine:
         if cfg.projection in ("auto", "fourier"):
             fp = make_fourier_projection_spec(p, model.radii)
             if fp is not None:
-                self.fspec, sort_idx, st = fp
-                model_points = model.points[sort_idx]
-                model_radii = model.radii[sort_idx]
-                model_dens = model.densities[sort_idx]
+                self.fspec, gather_idx, pad_mask, st = fp
+                model_points = model.points[gather_idx]
+                model_radii = model.radii[gather_idx]
+                # Group-padding slots carry zero density → contribute nothing.
+                model_dens = model.densities[gather_idx] * pad_mask
                 st_re = np.ascontiguousarray(st.real)
                 st_im = np.ascontiguousarray(st.imag)
             elif cfg.projection == "fourier":

@@ -210,8 +210,8 @@ class FourierProjectionSpec:
     pixel_size: float
     shift_x: int
     shift_y: int
-    # static group slices into the radius-sorted point arrays
-    group_bounds: tuple  # ((start, end), ...) per group
+    n_groups: int  # radius groups G
+    group_pad: int  # points per group after padding (Pp)
     stencil_sums: tuple  # Σ of each group's unit-density stencil
 
 
@@ -233,21 +233,28 @@ def _unit_stencil(radius: float, pix: float) -> np.ndarray:
 
 
 def make_fourier_projection_spec(p, radii: np.ndarray):
-    """(spec, sort_idx, stencil_dfts) or None if too many radius groups.
+    """(spec, gather_idx, stencil_dfts) or None if too many radius groups.
 
-    sort_idx reorders the model arrays so each radius group is contiguous;
-    stencil_dfts is a (U, N, F) complex64 table of group-stencil DFTs.
+    ``gather_idx`` is a (G·Pp,) index into the model arrays laying points out
+    as G uniform radius groups of Pp slots (groups padded with repeats of
+    their first member — the engine zeroes the padding densities via
+    ``pad_mask``, stored as spec-side attribute on the returned index array's
+    companion); ``stencil_dfts`` is (G, N, F) complex64.
     """
     uniq, inverse = np.unique(np.asarray(radii, np.float32), return_inverse=True)
     if uniq.size > MAX_RADIUS_GROUPS:
         return None
-    sort_idx = np.argsort(inverse, kind="stable")
-    sorted_groups = inverse[sort_idx]
     n, nf = p.n_pixels, p.n_fft_1d
-    bounds, dfts, sums = [], [], []
-    for g in range(uniq.size):
-        members = np.nonzero(sorted_groups == g)[0]
-        bounds.append((int(members[0]), int(members[-1]) + 1))
+    groups = [np.nonzero(inverse == g)[0] for g in range(uniq.size)]
+    pp = max(len(m) for m in groups)
+    pp = ((pp + 7) // 8) * 8  # sublane-align the group size
+    gather_idx = np.zeros(uniq.size * pp, np.int64)
+    pad_mask = np.zeros(uniq.size * pp, np.float32)
+    dfts, sums = [], []
+    for g, members in enumerate(groups):
+        gather_idx[g * pp: g * pp + len(members)] = members
+        gather_idx[g * pp + len(members): (g + 1) * pp] = members[0]
+        pad_mask[g * pp: g * pp + len(members)] = 1.0
         st = _unit_stencil(float(uniq[g]), p.pixel_size)
         s_half = st.shape[0] // 2
         du = np.arange(-s_half, s_half + 1)
@@ -262,10 +269,11 @@ def make_fourier_projection_spec(p, radii: np.ndarray):
         pixel_size=p.pixel_size,
         shift_x=p.shift_x,
         shift_y=p.shift_y,
-        group_bounds=tuple(bounds),
+        n_groups=uniq.size,
+        group_pad=pp,
         stencil_sums=tuple(sums),
     )
-    return spec, sort_idx, np.stack(dfts)
+    return spec, gather_idx, pad_mask, np.stack(dfts)
 
 
 def project_fourier_one(
@@ -306,22 +314,28 @@ def project_fourier_one(
     ex_im = jnp.sin(ax) * dens_eff[:, None]
     ey_re, ey_im = jnp.cos(ay), jnp.sin(ay)
 
-    hi = jax.lax.Precision.HIGHEST
+    # Two batched complex outer-product contractions over uniform radius
+    # groups (G, 2·Pp, ·): s = Σ_p ex_p ⊗ ey_p per group, with the complex
+    # 4-product folded into a stacked-K pair of einsums.
+    g, pp = fspec.n_groups, fspec.group_pad
     nf = n // 2 + 1
-    proj_re = jnp.zeros((n, nf), jnp.float32)
-    proj_im = jnp.zeros((n, nf), jnp.float32)
-    tempden = jnp.float32(0.0)
-    for g, (start, end) in enumerate(fspec.group_bounds):
-        exr, exi = ex_re[start:end], ex_im[start:end]  # (Pg, N)
-        eyr, eyi = ey_re[start:end], ey_im[start:end]  # (Pg, F)
-        dot = partial(jnp.dot, preferred_element_type=jnp.float32, precision=hi)
-        s_re = dot(exr.T, eyr) - dot(exi.T, eyi)  # (N, F)
-        s_im = dot(exr.T, eyi) + dot(exi.T, eyr)
-        proj_re = proj_re + st_re[g] * s_re - st_im[g] * s_im
-        proj_im = proj_im + st_re[g] * s_im + st_im[g] * s_re
-        tempden = tempden + jnp.float32(fspec.stencil_sums[g]) * jnp.sum(
-            dens_eff[start:end]
-        )
+    a = jnp.concatenate(
+        [ex_re.reshape(g, pp, n), ex_im.reshape(g, pp, n)], axis=1
+    )  # (G, 2Pp, N)
+    eyr = ey_re.reshape(g, pp, nf)
+    eyi = ey_im.reshape(g, pp, nf)
+    b_re = jnp.concatenate([eyr, -eyi], axis=1)  # (G, 2Pp, F)
+    b_im = jnp.concatenate([eyi, eyr], axis=1)
+    hi = jax.lax.Precision.HIGHEST
+    s_re = jnp.einsum("gpn,gpf->gnf", a, b_re, precision=hi)
+    s_im = jnp.einsum("gpn,gpf->gnf", a, b_im, precision=hi)
+    proj_re = jnp.sum(st_re * s_re - st_im * s_im, axis=0)
+    proj_im = jnp.sum(st_re * s_im + st_im * s_re, axis=0)
+
+    group_dens = jnp.sum(dens_eff.reshape(g, pp), axis=1)
+    tempden = jnp.dot(
+        jnp.asarray(fspec.stencil_sums, jnp.float32), group_dens
+    )
     scale = norm_den / tempden
     return proj_re * scale, proj_im * scale
 

@@ -36,22 +36,48 @@ def _cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _mxu_precision():
-    """MXU precision for the DFT contractions. HIGHEST (full f32) is the
-    default and the only mode that keeps the displacement argmax stable;
-    BIOEM_TPU_MXU_PRECISION=default selects single-pass bf16 (~1e-3 relative
-    cc error — benchmarking only). Mosaic does not implement HIGH."""
-    return {
-        "default": jax.lax.Precision.DEFAULT,
-        "highest": jax.lax.Precision.HIGHEST,
-    }[os.environ.get("BIOEM_TPU_MXU_PRECISION", "highest").lower()]
+def _mxu_mode(interpret: bool) -> str:
+    """MXU mode for the DFT contractions:
+
+    - ``3pass`` (TPU default): manual bf16 hi/lo split, 3 bf16 matmuls per
+      product — measured end-to-end |Δlog P| ≤ 6e-4 and identical argmax vs
+      highest on the production-shaped bench, ~1.1× faster overall. (Mosaic
+      does not implement lax Precision.HIGH.)
+    - ``highest`` (interpret-mode default): full-f32 passes, cc relative
+      error ~6e-8 — keeps CPU parity tests exact.
+    - ``default``: single-pass bf16 (~1e-3 relative cc — benchmarking only).
+    """
+    mode = os.environ.get(
+        "BIOEM_TPU_MXU_PRECISION", "highest" if interpret else "3pass"
+    ).lower()
+    if mode not in ("highest", "3pass", "default"):
+        raise ValueError(f"BIOEM_TPU_MXU_PRECISION={mode!r}")
+    return mode
+
+
+def _make_dot(mode: str):
+    if mode == "3pass":
+
+        def dot3(a, b):
+            a_hi = a.astype(jnp.bfloat16)
+            a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            b_hi = b.astype(jnp.bfloat16)
+            b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            d = partial(jnp.dot, preferred_element_type=jnp.float32)
+            return d(a_hi, b_hi) + (d(a_hi, b_lo) + d(a_lo, b_hi))
+
+        return dot3
+    prec = (
+        jax.lax.Precision.HIGHEST if mode == "highest" else jax.lax.Precision.DEFAULT
+    )
+    return partial(jnp.dot, preferred_element_type=jnp.float32, precision=prec)
 
 
 def _fused_cc_kernel(
     conv_re_ref, conv_im_ref, img_re_ref, img_im_ref,
     wx_re_ref, wx_im_ref, wy_re_ref, wy_im_ref,
     out_ref,
-    *, n_fold: int,
+    *, n_fold: int, mxu_mode: str,
 ):
     cr = conv_re_ref[0]  # (N, F)
     ci = conv_im_ref[0]
@@ -62,14 +88,9 @@ def _fused_cc_kernel(
     wyi_t = wy_im_ref[:].T
     m = wxr.shape[1]
 
-    # HIGHEST keeps the MXU in full-f32 passes — the default bf16 path loses
-    # ~3 decimal digits of cc, enough to move the displacement argmax (same
-    # policy as posterior.displacement_cc). Overridable, see _mxu_precision.
-    dot = partial(
-        jnp.dot,
-        preferred_element_type=jnp.float32,
-        precision=_mxu_precision(),
-    )
+    # Accuracy policy in _mxu_mode; the single-pass bf16 path loses ~3
+    # decimal digits of cc, enough to move the displacement argmax.
+    dot = _make_dot(mxu_mode)
 
     # Static unrolled loop over the image tile. Contraction order puts the
     # small displacement dim D on the matmul M side (sublanes, padded
@@ -143,7 +164,7 @@ def fused_displacement_cc(
     wy_spec = pl.BlockSpec((d, f), lambda it, o: (o * 0, o * 0), memory_space=pltpu.VMEM)
 
     out = pl.pallas_call(
-        partial(_fused_cc_kernel, n_fold=n_fold),
+        partial(_fused_cc_kernel, n_fold=n_fold, mxu_mode=_mxu_mode(interpret)),
         grid=grid,
         in_specs=[conv_spec, conv_spec, img_spec, img_spec, wx_spec, wx_spec, wy_spec, wy_spec],
         out_specs=pl.BlockSpec(

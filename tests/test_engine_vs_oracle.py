@@ -94,3 +94,27 @@ def test_odd_npixels(rng):
     p = tiny_params(n_pixels=15)
     oracle, res = _run_both(p, rng)
     np.testing.assert_allclose(res.log_prob, oracle.log_prob, rtol=0, atol=2e-3)
+
+
+def test_posterior_invariant_under_image_permutation(rng):
+    """Property: permuting the image stack permutes results identically."""
+    from bioem_tpu.config import RunConfig
+    from bioem_tpu.core.engine import BioEMEngine
+    from bioem_tpu.core.orientations import build_orientations
+    from bioem_tpu.io.map_io import ImageStack
+    from .conftest import tiny_images, tiny_model, tiny_params
+
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 5, p.n_pixels)
+    orients = build_orientations(p)
+    perm = np.array([3, 0, 4, 1, 2])
+
+    e1 = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    r1 = e1.results(e1.run())
+    e2 = BioEMEngine(
+        p, orients, model, ImageStack(images.maps[perm]), RunConfig(orient_block=2)
+    )
+    r2 = e2.results(e2.run())
+    np.testing.assert_allclose(r2.log_prob, r1.log_prob[perm], rtol=1e-12)
+    np.testing.assert_array_equal(r2.best_orient, r1.best_orient[perm])

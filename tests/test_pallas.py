@@ -97,3 +97,19 @@ def test_engine_pallas_matches_xla(rng):
     np.testing.assert_array_equal(r_pl.best_cent_x, r_ref.best_cent_x)
     np.testing.assert_array_equal(r_pl.best_cent_y, r_ref.best_cent_y)
     np.testing.assert_allclose(r_pl.best_norm, r_ref.best_norm, rtol=1e-5)
+
+
+def test_engine_pallas_write_angles(rng):
+    """Per-orientation posterior slabs through the Pallas path == XLA."""
+    p = tiny_params(write_angles=3)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    e_x = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2, use_pallas=False))
+    e_p = BioEMEngine(
+        p, orients, model, images,
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2),
+    )
+    r_x = e_x.results(e_x.run())
+    r_p = e_p.results(e_p.run())
+    np.testing.assert_allclose(r_p.angle_log, r_x.angle_log, rtol=1e-9, atol=1e-7)

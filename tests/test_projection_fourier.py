@@ -23,7 +23,7 @@ def test_fourier_matches_raster_fft(rng):
     spec = make_projection_spec(p, model.radii)
     fp = make_fourier_projection_spec(p, model.radii)
     assert fp is not None
-    fspec, sort_idx, st = fp
+    fspec, gather_idx, pad_mask, st = fp
 
     orients = build_orientations(p)
     rotm = rotation_matrices(jnp.asarray(orients.angles[:3]), False)
@@ -36,8 +36,10 @@ def test_fourier_matches_raster_fft(rng):
 
     pr, pi = project_fourier_batch(
         fspec, rotm,
-        jnp.asarray(model.points[sort_idx]), jnp.asarray(model.radii[sort_idx]),
-        jnp.asarray(model.densities[sort_idx]), jnp.float32(model.norm_den),
+        jnp.asarray(model.points[gather_idx]),
+        jnp.asarray(model.radii[gather_idx]),
+        jnp.asarray(model.densities[gather_idx] * pad_mask),
+        jnp.float32(model.norm_den),
         jnp.asarray(np.ascontiguousarray(st.real)),
         jnp.asarray(np.ascontiguousarray(st.imag)),
     )
