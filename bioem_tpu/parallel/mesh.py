@@ -121,6 +121,112 @@ class ShardedBioEMEngine(BioEMEngine):
             donate_argnums=(0,),
         )
 
+        # --- chunked runner for checkpoint/resume ---------------------------
+        # The single-call scan above cannot checkpoint mid-run; with a
+        # checkpoint path configured, the scan is split into uniform chunks
+        # of per-shard blocks, with the collective merge deferred to one
+        # final merge-only call (merging between chunks would double-count:
+        # after a merge every orientation shard holds the global state).
+        #
+        # Mid-run, each orientation shard holds DIFFERENT partial accumulators
+        # for the same image, so the per-image state fields cannot use the
+        # replicated-over-orient spec P("img") (a host round-trip would keep
+        # one shard's partials and drop the rest). The chunked state instead
+        # carries an explicit leading orient axis: global (n_orient_shards,
+        # n_img_pad) with spec P("orient", "img"); the per-angle slabs are
+        # already genuinely orient-sharded and keep their spec.
+        self._chunks = None
+        if self.cfg.checkpoint_path:
+            every = max(1, self.cfg.checkpoint_every or 16)
+            bps = blocks_per_shard
+            n_chunks = _cdiv(bps, every)
+            bps_pad = n_chunks * every
+            ang = np.asarray(self.ang_blocks).reshape(
+                self.n_orient_shards, bps, self.o_block, 4
+            )
+            off = np.asarray(self.offsets).reshape(self.n_orient_shards, bps)
+            msk = np.asarray(self.mask_blocks).reshape(
+                self.n_orient_shards, bps, self.o_block
+            )
+            pad = bps_pad - bps
+            if pad:
+                ang = np.concatenate([ang, np.repeat(ang[:, :1], pad, 1)], axis=1)
+                off = np.concatenate([off, np.repeat(off[:, :1], pad, 1)], axis=1)
+                msk = np.concatenate(
+                    [msk, np.zeros((self.n_orient_shards, pad, self.o_block), msk.dtype)],
+                    axis=1,
+                )
+
+            def put(x, spec):
+                return jax.device_put(x, NamedSharding(mesh, spec))
+
+            self._chunks = []
+            for c in range(n_chunks):
+                sl = slice(c * every, (c + 1) * every)
+                loff = (
+                    (c * every + np.arange(every)) * self.o_block
+                ).astype(np.int32)
+                self._chunks.append((
+                    put(ang[:, sl].reshape(-1, self.o_block, 4), blk_spec),
+                    put(off[:, sl].reshape(-1), blk_spec),
+                    put(msk[:, sl].reshape(-1, self.o_block), blk_spec),
+                    jnp.asarray(loff),
+                ))
+
+            stacked = P("orient", "img")
+            ang_spec = P("img", "orient") if self.p.write_angles else None
+            stacked_specs = PosteriorState(
+                total=stacked, const=stacked, best_orient=stacked,
+                best_conv=stacked, best_cent_x=stacked, best_cent_y=stacked,
+                best_norm=stacked, best_mu=stacked,
+                ang_total=ang_spec, ang_const=ang_spec,
+            )
+            n_ang_fields = 2  # trailing ang_total/ang_const keep their layout
+
+            def unstack(st):
+                vals = [v[0] if v is not None else None for v in st[:-n_ang_fields]]
+                return PosteriorState(*vals, *st[-n_ang_fields:])
+
+            def restack(st):
+                vals = [v[None] if v is not None else None for v in st[:-n_ang_fields]]
+                return PosteriorState(*vals, *st[-n_ang_fields:])
+
+            def chunk_fn(state, banks, ang_blocks, offsets, masks, local_off):
+                def body(st, xs):
+                    a, o, m, lo = xs
+                    return (
+                        self._block_step(st, banks, a, o, m, ang_offset=lo),
+                        None,
+                    )
+
+                state, _ = jax.lax.scan(
+                    body, unstack(state), (ang_blocks, offsets, masks, local_off)
+                )
+                return restack(state)
+
+            rep = P()
+            self._chunk_run = jax.jit(
+                jax.shard_map(
+                    chunk_fn,
+                    mesh=mesh,
+                    in_specs=(stacked_specs, self.banks_specs, blk_spec, blk_spec, blk_spec, rep),
+                    out_specs=stacked_specs,
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+            self._merge_run = jax.jit(
+                jax.shard_map(
+                    lambda st: merge_across_orient(unstack(st), "orient"),
+                    mesh=mesh,
+                    in_specs=(stacked_specs,),
+                    out_specs=state_specs,
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+            self._stacked_specs = stacked_specs
+
         # Place inputs according to their specs so no implicit reshard runs.
         def put(x, spec):
             return jax.device_put(x, NamedSharding(mesh, spec))
@@ -146,8 +252,51 @@ class ShardedBioEMEngine(BioEMEngine):
             *(put(v, s) for v, s in zip(st, self._state_specs))
         )
 
+    def _initial_stacked_state(self) -> PosteriorState:
+        st = init_state(self.n_img_pad, self.n_orient_pad, self.p.write_angles > 0)
+        # Tile the per-image scalar fields across the leading orient axis
+        # (initial state is uniform, so tiling is exact).
+        vals = [
+            np.broadcast_to(np.asarray(v), (self.n_orient_shards,) + v.shape).copy()
+            for v in st[:-2]
+        ]
+        st = PosteriorState(*vals, *st[-2:])
+        return self._put_state(st)
+
+    def _put_state(self, st: PosteriorState) -> PosteriorState:
+        def put(x, spec):
+            if x is None:
+                return None
+            return jax.device_put(x, NamedSharding(self.mesh, spec))
+
+        return PosteriorState(*(put(v, s) for v, s in zip(st, self._stacked_specs)))
+
     def run(self, progress: bool = False) -> PosteriorState:
-        state = self.initial_state()
-        return self._sharded_run(
-            state, self.banks, self.ang_blocks, self.offsets, self.mask_blocks
-        )
+        if self._chunks is None:
+            state = self.initial_state()
+            return self._sharded_run(
+                state, self.banks, self.ang_blocks, self.offsets, self.mask_blocks
+            )
+        # Chunked path with checkpoint/resume (pre-merge stacked state).
+        from ..runtime.checkpoint import load_checkpoint, save_checkpoint
+
+        ckpt = self.cfg.checkpoint_path
+        start = 0
+        state = None
+        loaded = load_checkpoint(ckpt, self._fingerprint)
+        if loaded is not None:
+            host_state, start = loaded
+            state = self._put_state(host_state)
+            if self.cfg.debug_output >= 1:
+                print(f"Resuming from checkpoint at chunk {start}/{len(self._chunks)}")
+        if state is None:
+            state = self._initial_stacked_state()
+        for c in range(start, len(self._chunks)):
+            ang, off, msk, loff = self._chunks[c]
+            state = self._chunk_run(state, self.banks, ang, off, msk, loff)
+            jax.block_until_ready(state.total)
+            host = PosteriorState(
+                *(np.asarray(v) if v is not None else None for v in state)
+            )
+            save_checkpoint(ckpt, host, c + 1, self._fingerprint)
+        return self._merge_run(state)

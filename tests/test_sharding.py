@@ -51,3 +51,51 @@ def test_sharded_matches_single(problem, mesh_shape):
 def test_mesh_needs_enough_devices(problem):
     with pytest.raises(ValueError):
         make_bioem_mesh(16, 16)
+
+
+def test_sharded_checkpoint_resume(rng, tmp_path):
+    """Chunked+checkpointed sharded run == plain sharded run, incl. resume."""
+    import numpy as np
+
+    from bioem_tpu.config import RunConfig
+    from bioem_tpu.core.orientations import build_orientations
+    from bioem_tpu.parallel.mesh import ShardedBioEMEngine, make_bioem_mesh
+    from .conftest import tiny_images, tiny_model, tiny_params
+
+    p = tiny_params(write_angles=2)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    mesh = make_bioem_mesh(2, 2)
+
+    cfg0 = RunConfig(orient_block=1, mesh_images=2, mesh_orient=2)
+    e0 = ShardedBioEMEngine(p, orients, model, images, cfg0, mesh=mesh)
+    ref = e0.results(e0.run())
+
+    ckpt = str(tmp_path / "shard.npz")
+    cfg1 = RunConfig(
+        orient_block=1, mesh_images=2, mesh_orient=2,
+        checkpoint_path=ckpt, checkpoint_every=1,
+    )
+    e1 = ShardedBioEMEngine(p, orients, model, images, cfg1, mesh=mesh)
+    r1 = e1.results(e1.run())
+    np.testing.assert_allclose(r1.log_prob, ref.log_prob, rtol=1e-12)
+    np.testing.assert_allclose(r1.angle_log, ref.angle_log, rtol=1e-10)
+
+    from bioem_tpu.runtime.checkpoint import save_checkpoint
+
+    # Run the first chunk only, checkpoint, then resume with a new engine.
+    # Exercises the host round-trip of the pre-merge stacked state.
+    e2 = ShardedBioEMEngine(p, orients, model, images, cfg1, mesh=mesh)
+    st = e2._initial_stacked_state()
+    ang, off, msk, loff = e2._chunks[0]
+    st = e2._chunk_run(st, e2.banks, ang, off, msk, loff)
+    from bioem_tpu.core.posterior import PosteriorState
+
+    host = PosteriorState(*(np.asarray(v) if v is not None else None for v in st))
+    save_checkpoint(ckpt, host, 1, e2._fingerprint)
+
+    e3 = ShardedBioEMEngine(p, orients, model, images, cfg1, mesh=mesh)
+    r3 = e3.results(e3.run())
+    np.testing.assert_allclose(r3.log_prob, ref.log_prob, rtol=1e-12)
+    np.testing.assert_array_equal(r3.best_orient, ref.best_orient)
