@@ -452,19 +452,24 @@ class BioEMEngine:
 
     # ------------------------------------------------------------------
     def results(self, state: PosteriorState) -> Results:
+        # to_host_global makes this multi-host-safe: each field is
+        # allgathered across processes before the host-side math (the
+        # analogue of the reference's MPI_Reduce to rank 0, bioem.cpp:935).
+        from ..parallel.distributed import to_host_global
+
         p = self.p
         volu = orientation_volume_quirked(p, self.orients.voluang, self.grid)
         k_norm = log_normalization_constant(p, volu)
         i = self.n_img
-        total = np.asarray(state.total)[:i]
-        const = np.asarray(state.const)[:i]
+        total = to_host_global(state.total)[:i]
+        const = to_host_global(state.const)[:i]
         with np.errstate(divide="ignore"):
             log_prob = np.log(total) + const + k_norm
         angle_log = None
         angle_raw = None
         if state.ang_total is not None:
-            at = np.asarray(state.ang_total)[:i, : self.n_orient]
-            ac = np.asarray(state.ang_const)[:i, : self.n_orient]
+            at = to_host_global(state.ang_total)[:i, : self.n_orient]
+            ac = to_host_global(state.ang_const)[:i, : self.n_orient]
             with np.errstate(divide="ignore"):
                 log_at = np.log(at)
                 angle_log = log_at + ac + k_norm
@@ -473,12 +478,12 @@ class BioEMEngine:
             log_prob=log_prob,
             constoadd=const,
             total=total,
-            best_orient=np.asarray(state.best_orient)[:i],
-            best_conv=np.asarray(state.best_conv)[:i],
-            best_cent_x=np.asarray(state.best_cent_x)[:i],
-            best_cent_y=np.asarray(state.best_cent_y)[:i],
-            best_norm=np.asarray(state.best_norm)[:i],
-            best_mu=np.asarray(state.best_mu)[:i],
+            best_orient=to_host_global(state.best_orient)[:i],
+            best_conv=to_host_global(state.best_conv)[:i],
+            best_cent_x=to_host_global(state.best_cent_x)[:i],
+            best_cent_y=to_host_global(state.best_cent_y)[:i],
+            best_norm=to_host_global(state.best_norm)[:i],
+            best_mu=to_host_global(state.best_mu)[:i],
             angle_log=angle_log,
             log_norm_const=k_norm,
             angle_raw=angle_raw,

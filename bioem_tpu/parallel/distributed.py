@@ -1,11 +1,14 @@
-"""Multi-host initialisation and global-mesh construction.
+"""Multi-host initialisation, global-mesh construction and host gathering.
 
 TPU-native replacement for the reference's MPI bootstrap
 (/root/reference/main.cpp:64-68 MPI_Init/rank/size and the configure-time
 MPI_Bcast at bioem.cpp:453-503): `jax.distributed.initialize` joins the
 hosts; input dissemination happens through sharded array creation (each
-host materialises the shards it owns via `jax.make_array_from_callback`)
-instead of broadcasting whole inputs to every rank.
+process materialises only the device shards it owns via
+`jax.make_array_from_callback`) instead of broadcasting whole inputs to
+every rank; result collection is a `process_allgather` (the analogue of the
+reference's final `MPI_Reduce` to rank 0, bioem.cpp:909-1044 — except every
+host ends up with the full result, which the writers on process 0 consume).
 
 Typical multi-host driver:
 
@@ -26,7 +29,7 @@ from typing import Optional
 
 import jax
 import numpy as np
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize(
@@ -36,34 +39,59 @@ def initialize(
 ) -> None:
     """Join a multi-host run (MPI_Init analogue). Safe no-op single-host.
 
-    With no arguments, jax.distributed auto-detects the cluster environment
-    (TPU pod metadata / SLURM / Open MPI env vars). Explicit arguments
-    mirror jax.distributed.initialize for manual setups.
+    Resolution order:
+
+    1. explicit arguments (mirroring ``jax.distributed.initialize``);
+    2. ``BIOEM_TPU_COORDINATOR`` / ``BIOEM_TPU_NUM_PROCESSES`` /
+       ``BIOEM_TPU_PROCESS_ID`` environment variables;
+    3. cluster auto-detection (TPU pod metadata, SLURM, Open MPI env) when
+       the environment advertises one;
+    4. otherwise: single-process mode, no initialisation attempted.
+
+    Failures in cases 1–3 PROPAGATE — a misconfigured pod must fail loudly,
+    not silently fall back to a single process that computes a fraction of
+    the orientation grid and reports it as the full posterior.
     """
-    if jax.process_count() > 1:
+    # Must not touch the XLA backend here (jax.process_count()/jax.devices()
+    # initialise it, after which jax.distributed.initialize refuses to run);
+    # inspect the distributed client state directly.
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
         return  # already initialised
-    env_addr = coordinator_address or os.environ.get("BIOEM_TPU_COORDINATOR")
-    n_proc = num_processes or (
-        int(os.environ["BIOEM_TPU_NUM_PROCESSES"])
-        if "BIOEM_TPU_NUM_PROCESSES" in os.environ
-        else None
-    )
-    pid = process_id or (
-        int(os.environ["BIOEM_TPU_PROCESS_ID"])
-        if "BIOEM_TPU_PROCESS_ID" in os.environ
-        else None
-    )
-    if env_addr is None and n_proc is None:
-        # Single-host run or auto-detectable environment: try auto-init,
-        # fall back silently to single-process mode.
-        try:
-            jax.distributed.initialize()
-        except Exception:
-            pass
+    addr = coordinator_address or os.environ.get("BIOEM_TPU_COORDINATOR")
+    n_proc = num_processes
+    if n_proc is None and "BIOEM_TPU_NUM_PROCESSES" in os.environ:
+        n_proc = int(os.environ["BIOEM_TPU_NUM_PROCESSES"])
+    pid = process_id
+    if pid is None and "BIOEM_TPU_PROCESS_ID" in os.environ:
+        pid = int(os.environ["BIOEM_TPU_PROCESS_ID"])
+
+    if addr is not None or n_proc is not None or pid is not None:
+        if addr is None or n_proc is None or pid is None:
+            raise ValueError(
+                "partial multi-host configuration: need all three of "
+                "coordinator_address, num_processes, process_id (or the "
+                "BIOEM_TPU_COORDINATOR/_NUM_PROCESSES/_PROCESS_ID env vars); "
+                f"got addr={addr!r} n_proc={n_proc!r} pid={pid!r}"
+            )
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=n_proc, process_id=pid
+        )
         return
-    jax.distributed.initialize(
-        coordinator_address=env_addr, num_processes=n_proc, process_id=pid
+
+    # Auto-detectable cluster environments only; anything else is a normal
+    # single-host run and must not pay a connection-timeout penalty.
+    cluster_env = (
+        "JAX_COORDINATOR_ADDRESS",
+        "COORDINATOR_ADDRESS",
+        "SLURM_JOB_ID",
+        "OMPI_COMM_WORLD_SIZE",
+        "TPU_WORKER_HOSTNAMES",
+        "MEGASCALE_COORDINATOR_ADDRESS",
     )
+    if any(v in os.environ for v in cluster_env):
+        jax.distributed.initialize()
 
 
 def global_bioem_mesh(n_img_shards: int, n_orient_shards: int) -> Mesh:
@@ -85,3 +113,37 @@ def global_bioem_mesh(n_img_shards: int, n_orient_shards: int) -> Mesh:
         devs[:need].reshape(n_img_shards, n_orient_shards),
         axis_names=("img", "orient"),
     )
+
+
+def put_sharded(x, mesh: Mesh, spec: P):
+    """Multi-process-safe ``device_put(x, NamedSharding(mesh, spec))``.
+
+    ``jax.device_put`` of a host-global array onto a multi-host sharding
+    requires every process to address every shard — it fails (or silently
+    replicates) when ``jax.process_count() > 1``. This instead materialises
+    only the shards the calling process owns, from the host-global numpy
+    array each process holds (the analogue of the reference's configure-time
+    MPI_Bcast of all inputs, /root/reference/bioem.cpp:453-503).
+    """
+    sharding = NamedSharding(mesh, spec)
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def to_host_global(x):
+    """Fetch a (possibly multi-host-sharded) jax.Array as a full numpy array.
+
+    Single-process: plain ``np.asarray``. Multi-process: allgather the
+    process-local shards across hosts first (every host gets the full
+    array) — ``np.asarray`` on a non-fully-addressable array raises.
+    """
+    if x is None:
+        return None
+    if jax.process_count() > 1 and isinstance(x, jax.Array):
+        if not x.is_fully_addressable:
+            from jax.experimental import multihost_utils
+
+            return np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    return np.asarray(x)

@@ -26,13 +26,14 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import RunConfig
 from ..core.engine import Banks, BioEMEngine, Results, _cdiv
 from ..core.posterior import PosteriorState, init_state, merge_across_orient
 from ..io.map_io import ImageStack
 from ..io.model_io import Model
+from .distributed import put_sharded, to_host_global
 
 
 def make_bioem_mesh(n_img_shards: int, n_orient_shards: int, devices=None) -> Mesh:
@@ -158,7 +159,7 @@ class ShardedBioEMEngine(BioEMEngine):
                 )
 
             def put(x, spec):
-                return jax.device_put(x, NamedSharding(mesh, spec))
+                return put_sharded(x, mesh, spec)
 
             self._chunks = []
             for c in range(n_chunks):
@@ -228,8 +229,10 @@ class ShardedBioEMEngine(BioEMEngine):
             self._stacked_specs = stacked_specs
 
         # Place inputs according to their specs so no implicit reshard runs.
+        # put_sharded materialises only process-local shards, so this path
+        # is multi-host-safe (each host feeds the image shards it owns).
         def put(x, spec):
-            return jax.device_put(x, NamedSharding(mesh, spec))
+            return put_sharded(x, mesh, spec)
 
         self.banks = Banks(
             *(put(v, s) for v, s in zip(self.banks, self.banks_specs))
@@ -246,7 +249,7 @@ class ShardedBioEMEngine(BioEMEngine):
         def put(x, spec):
             if x is None:
                 return None
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            return put_sharded(x, self.mesh, spec)
 
         return PosteriorState(
             *(put(v, s) for v, s in zip(st, self._state_specs))
@@ -267,7 +270,7 @@ class ShardedBioEMEngine(BioEMEngine):
         def put(x, spec):
             if x is None:
                 return None
-            return jax.device_put(x, NamedSharding(self.mesh, spec))
+            return put_sharded(x, self.mesh, spec)
 
         return PosteriorState(*(put(v, s) for v, s in zip(st, self._stacked_specs)))
 
@@ -295,8 +298,10 @@ class ShardedBioEMEngine(BioEMEngine):
             ang, off, msk, loff = self._chunks[c]
             state = self._chunk_run(state, self.banks, ang, off, msk, loff)
             jax.block_until_ready(state.total)
-            host = PosteriorState(
-                *(np.asarray(v) if v is not None else None for v in state)
-            )
-            save_checkpoint(ckpt, host, c + 1, self._fingerprint)
+            # Multi-host: gather the global state on every host; process 0
+            # writes (the file is assumed to live on a shared filesystem,
+            # like the reference's MPI-rank-0 output, bioem.cpp:1046).
+            host = PosteriorState(*(to_host_global(v) for v in state))
+            if jax.process_index() == 0:
+                save_checkpoint(ckpt, host, c + 1, self._fingerprint)
         return self._merge_run(state)

@@ -16,16 +16,20 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timeit(fn, *args, reps=10):
-    out = fn(*args)
+def _sync(out):
+    # block_until_ready does not fully synchronise on axon — force a host
+    # read of one leaf.
     jax.block_until_ready(out)
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf)).ravel()[:1]
+
+
+def timeit(fn, *args, reps=10):
+    _sync(fn(*args))  # warmup incl. compile, fully synced
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
-    # force host read (axon sync quirk)
-    leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(jax.device_get(leaf)).ravel()[:1]
+    _sync(out)
     return (time.perf_counter() - t0) / reps
 
 
