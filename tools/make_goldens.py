@@ -67,13 +67,65 @@ def write_maps(path: str, rng, n_img: int, n_pix: int) -> None:
                     f.write(f"{i:8d}{j:8d}{maps[b, i, j]:16.8f}\n")
 
 
-def write_quat_list(path: str, rng, n: int) -> None:
+def write_quat_list(path: str, rng, n: int, priors=None) -> None:
     q = rng.normal(0, 1, (n, 4))
     q /= np.linalg.norm(q, axis=1, keepdims=True)
     with open(path, "w") as f:
         f.write(f"{n:12d}\n")
-        for row in q:
-            f.write("".join(f"{v:12.6f}" for v in row) + "\n")
+        for k, row in enumerate(q):
+            line = "".join(f"{v:12.6f}" for v in row)
+            if priors is not None:
+                line += f"{priors[k]:12.6f}"
+            f.write(line + "\n")
+
+
+def write_euler_list(path: str, rng, n: int, priors=None) -> None:
+    """Euler-angle list (reference param.cpp:1050-1133: %12.6f columns)."""
+    ang = rng.uniform(-np.pi, np.pi, (n, 3))
+    ang[:, 1] = np.arccos(rng.uniform(-1, 1, n))  # beta ∈ [0, π]
+    with open(path, "w") as f:
+        f.write(f"{n:12d}\n")
+        for k, row in enumerate(ang):
+            line = "".join(f"{v:12.6f}" for v in row)
+            if priors is not None:
+                line += f"{priors[k]:12.6f}"
+            f.write(line + "\n")
+
+
+# Residue names drawn from the reference tables (model.cpp:738-844).
+_RESIDUES = ["ALA", "GLY", "LYS", "TRP", "GLU", "SER", "VAL", "PRO", "HIS", "MET"]
+
+
+def write_pdb(path: str, rng, n: int) -> None:
+    """Cα-only PDB (reference parse: model.cpp:85-329 — ATOM + name CA,
+    resName cols 18-20, x/y/z cols 31-54)."""
+    pts = rng.uniform(-6, 6, (n, 3))
+    with open(path, "w") as f:
+        for k in range(n):
+            res = _RESIDUES[k % len(_RESIDUES)]
+            f.write(
+                f"ATOM  {k + 1:5d}  CA  {res} A{k + 1:4d}    "
+                f"{pts[k, 0]:8.3f}{pts[k, 1]:8.3f}{pts[k, 2]:8.3f}"
+                f"  1.00  0.00\n"
+            )
+
+
+def write_voxel_mrc(path: str, rng, nvox: int) -> None:
+    """Tiny voxel model: every voxel becomes a point of radius 2·pixelSize
+    (reference model.cpp:332-416)."""
+    sys.path.insert(0, REPO)
+    from bioem_tpu.io.mrc import write_mrc
+
+    vol = rng.uniform(0.5, 2.0, (nvox, nvox, nvox)).astype(np.float32)
+    write_mrc(path, vol)
+
+
+def write_mrc_stack(path: str, rng, n_img: int, n_pix: int) -> None:
+    sys.path.insert(0, REPO)
+    from bioem_tpu.io.mrc import write_mrc
+
+    maps = rng.normal(0, 1, (n_img, n_pix, n_pix)).astype(np.float32)
+    write_mrc(path, maps)
 
 
 CASE_A_PARAM = """\
@@ -103,24 +155,61 @@ WRITE_PROB_ANGLES 3
 
 
 def run_case(binary: str, name: str, param_text: str, n_img: int,
-             quat_list: bool) -> None:
+             quat_list: bool = False, euler_list: bool = False,
+             priors: bool = False, model_kind: str = "text",
+             maps_kind: str = "text") -> None:
     case_dir = os.path.join(OUT, name)
     os.makedirs(case_dir, exist_ok=True)
     rng = np.random.default_rng(42)
-    write_model(os.path.join(case_dir, "model.txt"), rng)
-    write_maps(os.path.join(case_dir, "maps.txt"), rng, n_img, 16)
+
+    model_file = {"text": "model.txt", "pdb": "model.pdb", "mrc": "model.mrc"}[
+        model_kind
+    ]
+    if model_kind == "text":
+        write_model(os.path.join(case_dir, model_file), rng)
+    elif model_kind == "pdb":
+        write_pdb(os.path.join(case_dir, model_file), rng, 10)
+    else:
+        write_voxel_mrc(os.path.join(case_dir, model_file), rng, 5)
+
+    maps_file = {"text": "maps.txt", "mrc": "maps.mrc", "multimrc": "maps_list.txt"}[
+        maps_kind
+    ]
+    if maps_kind == "text":
+        write_maps(os.path.join(case_dir, maps_file), rng, n_img, 16)
+    elif maps_kind == "mrc":
+        write_mrc_stack(os.path.join(case_dir, maps_file), rng, n_img, 16)
+    else:
+        n1 = max(1, n_img // 2)
+        write_mrc_stack(os.path.join(case_dir, "part1.mrc"), rng, n1, 16)
+        write_mrc_stack(os.path.join(case_dir, "part2.mrc"), rng, n_img - n1, 16)
+        with open(os.path.join(case_dir, maps_file), "w") as f:
+            f.write("part1.mrc\npart2.mrc\n")
+
     with open(os.path.join(case_dir, "param.txt"), "w") as f:
         f.write(param_text)
     args = [
         binary,
-        "--Modelfile", "model.txt",
-        "--Particlesfile", "maps.txt",
+        "--Modelfile", model_file,
+        "--Particlesfile", maps_file,
         "--Inputfile", "param.txt",
         "--OutputFile", "Output_Probabilities.golden",
     ]
+    if model_kind == "pdb":
+        args.append("--ReadPDB")
+    elif model_kind == "mrc":
+        args.append("--ReadModelMRC")
+    if maps_kind == "mrc":
+        args.append("--ReadMRC")
+    elif maps_kind == "multimrc":
+        args += ["--ReadMRC", "--ReadMultipleMRC"]
+    pvals = rng.uniform(0.5, 2.0, 8) if priors else None
     if quat_list:
-        write_quat_list(os.path.join(case_dir, "quat.txt"), rng, 8)
+        write_quat_list(os.path.join(case_dir, "quat.txt"), rng, 8, priors=pvals)
         args += ["--ReadOrientation", "quat.txt"]
+    elif euler_list:
+        write_euler_list(os.path.join(case_dir, "euler.txt"), rng, 8, priors=pvals)
+        args += ["--ReadOrientation", "euler.txt"]
     env = dict(os.environ)
     env.pop("GPU", None)
     res = subprocess.run(args, cwd=case_dir, env=env, capture_output=True, text=True)
@@ -128,7 +217,7 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
         print(res.stdout[-3000:])
         print(res.stderr[-3000:])
         raise RuntimeError(f"reference run failed for {name}")
-    if quat_list and os.path.exists(os.path.join(case_dir, "ANG_PROB")):
+    if os.path.exists(os.path.join(case_dir, "ANG_PROB")):
         shutil.move(
             os.path.join(case_dir, "ANG_PROB"),
             os.path.join(case_dir, "ANG_PROB.golden"),
@@ -136,10 +225,82 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
     print(f"golden case {name}: OK")
 
 
+CASE_C_PARAM = CASE_A_PARAM.replace("case A: Euler grid, CTF mode",
+                                    "case C: MRC particle stack")
+CASE_D_PARAM = CASE_A_PARAM.replace("case A: Euler grid, CTF mode",
+                                    "case D: multiple MRC stacks")
+CASE_E_PARAM = CASE_A_PARAM.replace("case A: Euler grid, CTF mode",
+                                    "case E: PDB model")
+CASE_F_PARAM = CASE_A_PARAM.replace("case A: Euler grid, CTF mode",
+                                    "case F: MRC voxel model")
+
+CASE_G_PARAM = """\
+# golden case G: Euler-angle list from file, CTF mode
+PIXEL_SIZE 1.5
+NUMBER_PIXELS 16
+CTF_B_ENV 1.0 100.0 2
+CTF_DEFOCUS 0.5 1.5 2
+CTF_AMPLITUDE 0.1 0.1 1
+DISPLACE_CENTER 2 1
+"""
+
+CASE_H_PARAM = """\
+# golden case H: quaternion list with per-orientation priors
+PIXEL_SIZE 1.5
+NUMBER_PIXELS 16
+USE_QUATERNIONS
+PRIOR_ANGLES
+CTF_B_ENV 1.0 100.0 2
+CTF_DEFOCUS 0.5 1.5 2
+CTF_AMPLITUDE 0.1 0.1 1
+DISPLACE_CENTER 2 1
+WRITE_PROB_ANGLES 3
+"""
+
+CASE_I_PARAM = """\
+# golden case I: projection shifts, no map normalization, no center of mass
+PIXEL_SIZE 1.5
+NUMBER_PIXELS 16
+GRIDPOINTS_ALPHA 2
+GRIDPOINTS_BETA 2
+SHIFT_X 1
+SHIFT_Y 1
+NO_MAP_NORM
+NO_CENTEROFMASS
+CTF_B_ENV 1.0 100.0 2
+CTF_DEFOCUS 0.5 1.5 2
+CTF_AMPLITUDE 0.1 0.1 1
+DISPLACE_CENTER 2 1
+"""
+
+CASE_J_PARAM = """\
+# golden case J: PSF mode with CTF-parameter output conversion
+PIXEL_SIZE 1.5
+NUMBER_PIXELS 16
+GRIDPOINTS_ALPHA 2
+GRIDPOINTS_BETA 2
+USE_PSF
+WRITE_CTF_PARAM
+PSF_AMPLITUDE 0.2 0.2 1
+PSF_ENVELOPE 0.6 1.0 2
+PSF_PHASE 0.5 1.5 2
+DISPLACE_CENTER 2 2
+"""
+
+
 def main() -> int:
     binary = build_reference()
-    run_case(binary, "case_a_euler_ctf", CASE_A_PARAM, 3, quat_list=False)
+    run_case(binary, "case_a_euler_ctf", CASE_A_PARAM, 3)
     run_case(binary, "case_b_quat_psf", CASE_B_PARAM, 2, quat_list=True)
+    run_case(binary, "case_c_mrc_stack", CASE_C_PARAM, 4, maps_kind="mrc")
+    run_case(binary, "case_d_multi_mrc", CASE_D_PARAM, 3, maps_kind="multimrc")
+    run_case(binary, "case_e_pdb_model", CASE_E_PARAM, 3, model_kind="pdb")
+    run_case(binary, "case_f_voxel_model", CASE_F_PARAM, 3, model_kind="mrc")
+    run_case(binary, "case_g_euler_list", CASE_G_PARAM, 3, euler_list=True)
+    run_case(binary, "case_h_prior_angles", CASE_H_PARAM, 3, quat_list=True,
+             priors=True)
+    run_case(binary, "case_i_shift_nonorm", CASE_I_PARAM, 3)
+    run_case(binary, "case_j_psf_writectf", CASE_J_PARAM, 2)
     return 0
 
 

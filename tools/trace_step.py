@@ -22,11 +22,14 @@ import jax
 import numpy as np
 
 
-def trace_device_ops(fn, args, tag):
-    """{op_name: (total_us, count)} of TPU-side trace events + total."""
-    out = fn(*args)
+def trace_device_ops(make_args, fn, tag):
+    """{op_name: (total_us, count)} of TPU-side trace events + total.
+
+    ``make_args`` builds fresh args per call (the scan donates its state)."""
+    out = fn(*make_args())
     jax.block_until_ready(out)
     np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
+    args = make_args()
     tracedir = f"/tmp/trace_step/{tag}"
     shutil.rmtree(tracedir, ignore_errors=True)
     jax.profiler.start_trace(tracedir)
@@ -71,7 +74,6 @@ def main():
         f"N={p.n_pixels} D={len(eng.disp)} pallas={eng.use_pallas}"
     )
 
-    state = eng.initial_state()
     ang = eng.ang_blocks[:n_blocks]
     off = eng.offsets[:n_blocks]
     msk = eng.mask_blocks[:n_blocks]
@@ -79,9 +81,10 @@ def main():
     def run(state, banks, ang, off, msk):
         return eng._scan_run(state, banks, ang, off, msk)
 
-    durs, cnts, jit_total = trace_device_ops(
-        run, (state, eng.banks, ang, off, msk), "scan"
-    )
+    def make_args():
+        return (eng.initial_state(), eng.banks, ang, off, msk)
+
+    durs, cnts, jit_total = trace_device_ops(make_args, run, "scan")
     dev_total = sum(durs.values())
     n_cmp = n_blocks * eng.o_block * eng.n_ctf * eng.n_img_pad
     print(f"device total: {dev_total/1e3:.3f} ms over {n_blocks} blocks "
