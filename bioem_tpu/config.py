@@ -35,8 +35,15 @@ class RunConfig:
     # Use the fused Pallas comparison kernel. None = auto: on for TPU
     # backends (it wins there), off elsewhere (interpret mode is slow).
     use_pallas: Optional[bool] = None
-    # Images per Pallas grid step (VMEM-resident image tile).
-    pallas_img_tile: int = 16
+    # Images per Pallas grid step (VMEM-resident image tile). v5e bench at
+    # production N=224 (hybrid LSE): tile 16 → 1.78 M cmp/s, 32 → 2.48 M,
+    # 64 → 2.57 M. 32 is the safe default (tile VMEM grows with N·tile);
+    # the autotuner probes 64.
+    pallas_img_tile: int = 32
+    # Fuse the displacement log-sum-exp into the Pallas kernel (True) or
+    # run it as a batched XLA reduction over the kernel's cc output
+    # (False). None = auto (measured per-backend default).
+    fused_lse: Optional[bool] = None
     # Checkpoint/resume of the streaming accumulator state (improves on the
     # reference, which restarts long runs from scratch on failure).
     checkpoint_path: str = ""
@@ -72,4 +79,6 @@ class RunConfig:
             cfg.autotune = bool(int(os.environ["BIOEM_TPU_AUTOTUNE"]))
         if os.environ.get("BIOEM_TPU_PALLAS"):
             cfg.use_pallas = bool(int(os.environ["BIOEM_TPU_PALLAS"]))
+        if os.environ.get("BIOEM_TPU_FUSED_LSE"):
+            cfg.fused_lse = bool(int(os.environ["BIOEM_TPU_FUSED_LSE"]))
         return cfg

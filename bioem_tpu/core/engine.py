@@ -19,6 +19,7 @@ Multi-device sharding wraps this engine via shard_map (bioem_tpu.parallel).
 from __future__ import annotations
 
 import math
+import warnings
 from dataclasses import dataclass
 from functools import partial
 from typing import NamedTuple, Optional
@@ -58,6 +59,8 @@ from .projection import (
     make_projection_spec,
     project_batch,
     project_fourier_batch,
+    projection_always_in_bounds,
+    projection_oob_report,
 )
 
 F32 = jnp.float32
@@ -92,6 +95,7 @@ class Banks(NamedTuple):
     norm_den: jnp.ndarray  # scalar f32
     st_re: jnp.ndarray  # (U, N, F) f32 radius-group stencil DFTs (Fourier
     st_im: jnp.ndarray  # projection path; (1, 1, 1) dummies otherwise)
+    st_sums: jnp.ndarray  # (U,) f32 unit-stencil sums (tempden weights)
 
 
 @dataclass
@@ -130,11 +134,23 @@ class BioEMEngine:
         model: Model,
         images: ImageStack,
         cfg: Optional[RunConfig] = None,
+        model_layout: Optional[dict] = None,
     ):
+        """``model_layout`` pads the model-dependent array shapes to a common
+        layout so one compiled step can serve several models via
+        :meth:`swap_model` (multi-model ranking, reference MODEL_COMPARISON
+        workflow doc/index.rst:2290-2521). Keys: ``n_points_pad``,
+        ``n_groups_pad``, ``group_pad``, ``stencil_half``, ``force_raster``."""
         defs.enable_x64()
         cfg = cfg or RunConfig()
         self.cfg = cfg
         self.p = p
+        lay = model_layout or {}
+        self._n_points_pad = int(lay.get("n_points_pad", 0))
+        self._g_pad = int(lay.get("n_groups_pad", 0))
+        self._pp_pad = int(lay.get("group_pad", 0))
+        self._stencil_half_min = int(lay.get("stencil_half", 0))
+        self._force_raster = bool(lay.get("force_raster", False))
         # Kernel choice: fused Pallas wins on TPU; the XLA einsum path is the
         # portable default elsewhere (Pallas interpret mode is slow).
         self.use_pallas = (
@@ -142,6 +158,14 @@ class BioEMEngine:
             if cfg.use_pallas is not None
             else jax.default_backend() == "tpu"
         )
+        # In-kernel displacement LSE vs XLA reduction over the kernel's cc
+        # output — both keep the cross-spectra in VMEM; see _block_step.
+        # Default False: XLA batches the log1p/exp reduction over the whole
+        # (O·C, I, D²) lattice at full VPU lane occupancy, measured 1.5×
+        # the in-kernel per-image variant on v5e (bench.py, N=224 D=21; the
+        # cc lattice is tiny — 441 f32/comparison — so its HBM round-trip
+        # costs less than the serialized in-kernel transcendentals).
+        self.fused_lse = cfg.fused_lse if cfg.fused_lse is not None else False
 
         # Debug reductions (reference bioem.cpp:518-525, map.cpp:545-548)
         grid = make_ctf_grid(p)
@@ -170,15 +194,7 @@ class BioEMEngine:
         self.disp = disp
         wx, wy = displacement_dft_weights(n, disp)
 
-        # --- image precompute (reference map.cpp:557-630) ---
-        h = hermitian_weights(n)
-        flat = maps.reshape(self.n_img, -1).astype(np.float64)
-        sum_ref = flat.sum(axis=1).astype(np.float32)
-        ssq_ref = (flat**2).sum(axis=1).astype(np.float32)
-        img_fft = np.fft.rfft2(maps.astype(np.float32)).astype(np.complex64)
-        img_fc = (np.conj(img_fft) * (h[None, None, :] / np.float32(n * n))).astype(
-            np.complex64
-        )
+        self._h = hermitian_weights(n)
 
         # --- block sizes ---
         self.o_block = max(1, min(cfg.orient_block, n_orient))
@@ -195,38 +211,17 @@ class BioEMEngine:
             self.i_block = int(np.clip(budget // max(per_img, 1), 1, self.n_img))
         img_mult = self.i_block * getattr(self, "n_img_shards", 1)
         self.n_img_pad = _cdiv(self.n_img, img_mult) * img_mult
-        pad_i = self.n_img_pad - self.n_img
-        if pad_i:
-            # Replicate image 0 into the padding lanes to keep all values
-            # finite; padded lanes are dropped at extraction time.
-            img_fc = np.concatenate([img_fc, np.repeat(img_fc[:1], pad_i, 0)])
-            sum_ref = np.concatenate([sum_ref, np.repeat(sum_ref[:1], pad_i)])
-            ssq_ref = np.concatenate([ssq_ref, np.repeat(ssq_ref[:1], pad_i)])
 
         blk_mult = self.o_block * getattr(self, "n_orient_shards", 1)
         self.n_orient_pad = _cdiv(n_orient, blk_mult) * blk_mult
 
-        # Fourier-space projection: exact, raster+FFT-free; needs few
-        # distinct radii (see projection.py). Falls back to the raster.
+        # --- image precompute (reference map.cpp:557-630) ---
+        img = self._image_arrays(maps)
+
+        # --- model precompute (projection layout, see _model_arrays) ---
         self.fspec = None
-        model_points = model.points
-        model_radii = model.radii
-        model_dens = model.densities
-        st_re = st_im = np.zeros((1, 1, 1), np.float32)
-        if cfg.projection in ("auto", "fourier"):
-            fp = make_fourier_projection_spec(p, model.radii)
-            if fp is not None:
-                self.fspec, gather_idx, pad_mask, st = fp
-                model_points = model.points[gather_idx]
-                model_radii = model.radii[gather_idx]
-                # Group-padding slots carry zero density → contribute nothing.
-                model_dens = model.densities[gather_idx] * pad_mask
-                st_re = np.ascontiguousarray(st.real)
-                st_im = np.ascontiguousarray(st.imag)
-            elif cfg.projection == "fourier":
-                raise ValueError(
-                    "projection='fourier' requires <= 32 distinct radii"
-                )
+        self.spec = None
+        marr = self._model_arrays(model, first=True)
 
         # --- device constants (explicit jit arguments, see Banks) ---
         # Complex banks are shipped as split real/imag float32: complex
@@ -239,24 +234,13 @@ class BioEMEngine:
             wx_im=jnp.asarray(np.ascontiguousarray(wx.imag)),
             wy_re=jnp.asarray(np.ascontiguousarray(wy.real)),
             wy_im=jnp.asarray(np.ascontiguousarray(wy.imag)),
-            h=jnp.asarray(h),
-            img_re=jnp.asarray(np.ascontiguousarray(img_fc.real)),
-            img_im=jnp.asarray(np.ascontiguousarray(img_fc.imag)),
-            sum_ref=jnp.asarray(sum_ref),
-            ssq_ref=jnp.asarray(ssq_ref),
+            h=jnp.asarray(self._h),
             disp=jnp.asarray(disp.astype(np.int32)),
             amp=jnp.asarray(grid.amp[:n_ctf]),
             pha=jnp.asarray(grid.phase[:n_ctf]),
             env=jnp.asarray(grid.env[:n_ctf]),
-            points=jnp.asarray(model_points),
-            radii=jnp.asarray(model_radii),
-            dens=jnp.asarray(model_dens),
-            norm_den=jnp.float32(model.norm_den),
-            st_re=jnp.asarray(st_re),
-            st_im=jnp.asarray(st_im),
+            **{k: jnp.asarray(v) for k, v in {**img, **marr}.items()},
         )
-
-        self.spec = make_projection_spec(p, model.radii)
 
         # --- orientation blocks (padded; mask kills padding lanes) ---
         ang = orients.angles[:n_orient]
@@ -267,6 +251,7 @@ class BioEMEngine:
             [np.ones(n_orient, np.int32), np.zeros(pad_o, np.int32)]
         )
         nblk = self.n_orient_pad // self.o_block
+        self._ang = ang
         self.ang_blocks = jnp.asarray(
             ang_p.reshape(nblk, self.o_block, 4).astype(np.float32)
         )
@@ -274,6 +259,8 @@ class BioEMEngine:
         self.offsets = jnp.asarray(
             (np.arange(nblk) * self.o_block).astype(np.int32)
         )
+
+        self._check_projection_bounds(model)
 
         self._step = jax.jit(self._block_step, donate_argnums=(0,))
         self._scan_run = jax.jit(self._run_scan, donate_argnums=(0,))
@@ -286,6 +273,171 @@ class BioEMEngine:
             self._fingerprint = ""
 
     # ------------------------------------------------------------------
+    # Bank builders. Image and model data enter the jitted step as explicit
+    # arguments (Banks), so swapping either reuses the compiled step with
+    # zero retracing as long as the array shapes match — the basis of the
+    # multi-model ranking driver (rank.py) and the image-streaming mode
+    # (stream.py; the reference's GPU image chunking, map.cpp:549).
+    # ------------------------------------------------------------------
+    def _image_arrays(self, maps: np.ndarray) -> dict:
+        """Per-image Σ/Σ² and prefolded conj-FFT bank, padded to n_img_pad
+        (reference map.cpp:557-630)."""
+        n = self.p.n_pixels
+        n_img = maps.shape[0]
+        if n_img > self.n_img_pad:
+            raise ValueError(f"{n_img} images exceed engine capacity {self.n_img_pad}")
+        flat = maps.reshape(n_img, -1).astype(np.float64)
+        sum_ref = flat.sum(axis=1).astype(np.float32)
+        ssq_ref = (flat**2).sum(axis=1).astype(np.float32)
+        img_fft = np.fft.rfft2(maps.astype(np.float32)).astype(np.complex64)
+        img_fc = (
+            np.conj(img_fft) * (self._h[None, None, :] / np.float32(n * n))
+        ).astype(np.complex64)
+        pad_i = self.n_img_pad - n_img
+        if pad_i:
+            # Replicate image 0 into the padding lanes to keep all values
+            # finite; padded lanes are dropped at extraction time.
+            img_fc = np.concatenate([img_fc, np.repeat(img_fc[:1], pad_i, 0)])
+            sum_ref = np.concatenate([sum_ref, np.repeat(sum_ref[:1], pad_i)])
+            ssq_ref = np.concatenate([ssq_ref, np.repeat(ssq_ref[:1], pad_i)])
+        return dict(
+            img_re=np.ascontiguousarray(img_fc.real),
+            img_im=np.ascontiguousarray(img_fc.imag),
+            sum_ref=sum_ref,
+            ssq_ref=ssq_ref,
+        )
+
+    def _model_arrays(self, model: Model, first: bool = False) -> dict:
+        """Model point/stencil arrays in the engine's fixed projection
+        layout. On ``first=True`` establishes self.fspec/self.spec; later
+        calls (swap_model) must land on the same static layout."""
+        p = self.p
+        cfg = self.cfg
+        fspec = None
+        pts = model.points
+        radii = model.radii
+        dens = model.densities
+        st_re = st_im = np.zeros((1, 1, 1), np.float32)
+        st_sums = np.zeros(1, np.float32)
+        # Fourier-space projection: exact, raster+FFT-free; needs few
+        # distinct radii (see projection.py). Falls back to the raster.
+        if cfg.projection in ("auto", "fourier") and not self._force_raster:
+            fp = make_fourier_projection_spec(
+                p, model.radii, n_groups_pad=self._g_pad, group_pad=self._pp_pad
+            )
+            if fp is not None:
+                fspec, gather_idx, pad_mask, st, st_sums = fp
+                pts = model.points[gather_idx]
+                radii = model.radii[gather_idx]
+                # Group-padding slots carry zero density → contribute nothing.
+                dens = model.densities[gather_idx] * pad_mask
+                st_re = np.ascontiguousarray(st.real)
+                st_im = np.ascontiguousarray(st.imag)
+            elif cfg.projection == "fourier":
+                raise ValueError(
+                    "projection='fourier' requires <= 32 distinct radii"
+                )
+        spec = make_projection_spec(
+            p, model.radii, stencil_half_min=self._stencil_half_min
+        )
+        if fspec is None and self._n_points_pad:
+            pad = self._n_points_pad - pts.shape[0]
+            if pad < 0:
+                raise ValueError(
+                    f"model has {pts.shape[0]} points > layout pad "
+                    f"{self._n_points_pad}"
+                )
+            if pad:
+                # Zero-density pad points contribute nothing to the raster.
+                pts = np.concatenate([pts, np.repeat(pts[:1], pad, 0)])
+                radii = np.concatenate([radii, np.repeat(radii[:1], pad)])
+                dens = np.concatenate([dens, np.zeros(pad, dens.dtype)])
+        if first:
+            self.fspec = fspec
+            self.spec = spec
+        else:
+            if (fspec is None) != (self.fspec is None) or (
+                fspec is not None and fspec != self.fspec
+            ):
+                raise ValueError(
+                    "swap_model: model needs a different Fourier-projection "
+                    "layout than this engine was compiled for — pass a "
+                    "common model_layout at engine construction (see "
+                    "rank.common_model_layout)"
+                )
+            if fspec is None and spec != self.spec:
+                raise ValueError(
+                    "swap_model: model needs a different raster stencil than "
+                    "this engine was compiled for — pass model_layout with "
+                    f"stencil_half >= {spec.stencil_half}"
+                )
+        return dict(
+            points=np.asarray(pts, np.float32),
+            radii=np.asarray(radii, np.float32),
+            dens=np.asarray(dens, np.float32),
+            norm_den=np.float32(model.norm_den),
+            st_re=st_re,
+            st_im=st_im,
+            st_sums=np.asarray(st_sums, np.float32),
+        )
+
+    def _place_banks(self, host_fields: dict) -> Banks:
+        """Device placement of swapped bank fields (sharded engines
+        override to honour their sharding specs)."""
+        return self.banks._replace(
+            **{k: jnp.asarray(v) for k, v in host_fields.items()}
+        )
+
+    def swap_model(self, model: Model) -> Banks:
+        """Banks with this engine's precompute but ``model``'s arrays —
+        same shapes ⇒ the jitted step is reused without recompiling."""
+        self._check_projection_bounds(model)
+        return self._place_banks(self._model_arrays(model))
+
+    def swap_images(self, maps: np.ndarray) -> Banks:
+        """Banks with this engine's precompute but a new image chunk
+        (padded to the engine's image capacity)."""
+        return self._place_banks(self._image_arrays(maps))
+
+    def _check_projection_bounds(self, model: Model):
+        """Out-of-frame diagnostics (reference bioem.cpp:1723-1731 warns per
+        projection; the jitted raster silently zeroes the weights, and a
+        fully out-of-frame orientation gives tempden == 0 → NaN). The O(P)
+        rotation-invariant bound skips the scan for well-centred models."""
+        p = self.p
+        n = p.n_pixels
+        if projection_always_in_bounds(
+            n, p.pixel_size, p.shift_x, p.shift_y, model.points, model.radii
+        ):
+            return
+        rotm_all = np.asarray(
+            rotation_matrices(
+                jnp.asarray(self._ang.astype(np.float32)),
+                self.orients.use_quaternions,
+            )
+        )
+        total_oob, affected, all_oob = projection_oob_report(
+            n, p.pixel_size, p.shift_x, p.shift_y,
+            model.points, model.radii, rotm_all,
+        )
+        if all_oob:
+            raise ValueError(
+                f"model projects entirely outside the {n}x{n} grid for "
+                f"{all_oob} of {self.n_orient} orientations (tempden == 0 — "
+                "the posterior would be NaN). Check PIXEL_SIZE / "
+                "NUMBER_PIXELS / SHIFT_X/Y against the model extent."
+            )
+        if total_oob:
+            warnings.warn(
+                f"{total_oob} point projections fall outside the "
+                f"{n}x{n} grid across {affected} of {self.n_orient} "
+                "orientations; their density is dropped (reference "
+                "bioem.cpp:1723-1731 behaviour).",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+
+    # ------------------------------------------------------------------
     def _block_step(self, state: PosteriorState, banks: Banks, angles, orient_offset, mask, ang_offset=None):
         p = self.p
         n = p.n_pixels
@@ -295,7 +447,7 @@ class BioEMEngine:
         if self.fspec is not None:
             pr, pi = project_fourier_batch(
                 self.fspec, rotm, banks.points, banks.radii, banks.dens,
-                banks.norm_den, banks.st_re, banks.st_im,
+                banks.norm_den, banks.st_re, banks.st_im, banks.st_sums,
             )
         else:
             proj = project_batch(
@@ -303,46 +455,103 @@ class BioEMEngine:
             )
             proj_f = jnp.fft.rfft2(proj)  # (O, N, F) complex — device-internal
             pr, pi = jnp.real(proj_f).astype(F32), jnp.imag(proj_f).astype(F32)
-        # conv = proj · conj(ctf) (reference bioem.cpp:1879-1883), split form
-        conv_re = pr[:, None] * banks.ctf_re[None] + pi[:, None] * banks.ctf_im[None]
-        conv_im = pi[:, None] * banks.ctf_re[None] - pr[:, None] * banks.ctf_im[None]
-        sum_c, ssq_c = convolution_sums(conv_re, conv_im, banks.h, n)
 
         prior = ctf_prior_term(banks.amp, banks.pha, banks.env, p)  # (C,) f64
-        prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
-
+        o, c = self.o_block, self.n_ctf
         n_img_local = banks.img_re.shape[0]
-        if self.use_pallas:
-            # Fused VMEM kernel over the whole local image bank: the
-            # (conv ⊙ img) cross-spectra never touch HBM.
-            from ..ops.compare_pallas import fused_displacement_cc
 
-            o, c = self.o_block, self.n_ctf
+        if self.use_pallas:
+            # Pallas kernel over the whole local image bank: the
+            # (conv ⊙ img) cross-spectra never touch HBM. Two flavours:
+            # fused_lse also evaluates the displacement log-sum-exp
+            # in-kernel (only four (O·C, I) summaries written back);
+            # otherwise the kernel emits the (O·C, I, D, D) cc lattice and
+            # XLA batches the transcendental reduction over all of it.
+            # The convolution sums feeding the f64 K constant are computed
+            # separably without materialising conv for the sums:
+            # |conv|² = |proj|²·|ctf|², so ssqC[o,c] = (|proj|²·h) @ |ctf|²ᵀ
+            # — one MXU matmul — and sumC = conv DC = Re(proj_dc·conj(ctf_dc)).
+            hi = jax.lax.Precision.HIGHEST
+            mag_p = (pr * pr + pi * pi) * banks.h[None, None, :]
+            mag_c = banks.ctf_re**2 + banks.ctf_im**2
+            ssq_c = jnp.dot(
+                mag_p.reshape(o, -1), mag_c.reshape(c, -1).T,
+                preferred_element_type=F32, precision=hi,
+            ) / jnp.float32(ntot)
+            sum_c = (
+                pr[:, 0, 0, None] * banks.ctf_re[None, :, 0, 0]
+                + pi[:, 0, 0, None] * banks.ctf_im[None, :, 0, 0]
+            )
+            prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
+            f0, k = logpro_constants(
+                sum_c, ssq_c, banks.sum_ref, banks.ssq_ref, prior_oc, ntot
+            )
             # Stride-fold: displacements are multiples of the lattice stride
             # s, so when s | N the wx weights have period N/s and the kernel
             # folds p rows before the matmul (s× fewer MXU flops).
             s = p.grid_space_center
             n_fold = s if (s > 1 and n % s == 0) else 1
-            cc = fused_displacement_cc(
-                conv_re.reshape(o * c, n, p.n_fft_1d),
-                conv_im.reshape(o * c, n, p.n_fft_1d),
-                banks.img_re, banks.img_im,
-                banks.wx_re[:, : n // n_fold], banks.wx_im[:, : n // n_fold],
-                banks.wy_re, banks.wy_im,
-                img_tile=self.i_block,
-                n_fold=n_fold,
-            )
             d = self.disp.shape[0]
-            cc = cc.reshape(o, c, n_img_local, d, d)
-            f0, k = logpro_constants(
-                sum_c, ssq_c, banks.sum_ref, banks.ssq_ref, prior_oc, ntot
-            )
-            m, se, ds, ccs = displacement_lse(cc, sum_c, banks.sum_ref, f0, ntot)
+            if self.fused_lse:
+                from ..ops.compare_pallas import fused_compare_block
+
+                # u(cc) = a_u·cc − b_u·cc² coefficients, divide hoisted out
+                # of the in-kernel displacement loop.
+                f0_32 = f0.astype(F32)  # (O, C, I)
+                # .astype(F32): sum_ref is f64 on the probability path — a
+                # f64 operand must never reach the Mosaic kernel (no f64 on
+                # TPU; the convert lowering recurses).
+                a_u = (
+                    2.0 * banks.sum_ref[None, None, :] * sum_c[:, :, None] / f0_32
+                ).astype(F32)
+                b_u = jnp.float32(ntot) / f0_32
+                m, se, ds, ccs = fused_compare_block(
+                    pr, pi, banks.ctf_re, banks.ctf_im,
+                    banks.img_re, banks.img_im,
+                    banks.wx_re[:, : n // n_fold], banks.wx_im[:, : n // n_fold],
+                    banks.wy_re, banks.wy_im,
+                    a_u.reshape(o * c, n_img_local),
+                    b_u.reshape(o * c, n_img_local),
+                    a_coef=(3.0 - ntot) * 0.5,
+                    img_tile=self.i_block,
+                    n_fold=n_fold,
+                )
+                m = m.reshape(o, c, n_img_local)
+                se = se.reshape(o, c, n_img_local)
+                ds = ds.reshape(o, c, n_img_local)
+                ccs = ccs.reshape(o, c, n_img_local)
+            else:
+                from ..ops.compare_pallas import fused_displacement_cc
+
+                conv_re = (
+                    pr[:, None] * banks.ctf_re[None]
+                    + pi[:, None] * banks.ctf_im[None]
+                )
+                conv_im = (
+                    pi[:, None] * banks.ctf_re[None]
+                    - pr[:, None] * banks.ctf_im[None]
+                )
+                cc = fused_displacement_cc(
+                    conv_re.reshape(o * c, n, p.n_fft_1d),
+                    conv_im.reshape(o * c, n, p.n_fft_1d),
+                    banks.img_re, banks.img_im,
+                    banks.wx_re[:, : n // n_fold], banks.wx_im[:, : n // n_fold],
+                    banks.wy_re, banks.wy_im,
+                    img_tile=self.i_block,
+                    n_fold=n_fold,
+                ).reshape(o, c, n_img_local, d, d)
+                m, se, ds, ccs = displacement_lse(cc, sum_c, banks.sum_ref, f0, ntot)
             k = jnp.where(mask[:, None, None] != 0, k, -jnp.inf)
             return merge_block(
                 state, m, se, ds, ccs, k, sum_c, ssq_c, banks.sum_ref,
                 banks.disp, orient_offset, ntot, d, ang_offset=ang_offset,
             )
+
+        # conv = proj · conj(ctf) (reference bioem.cpp:1879-1883), split form
+        conv_re = pr[:, None] * banks.ctf_re[None] + pi[:, None] * banks.ctf_im[None]
+        conv_im = pi[:, None] * banks.ctf_re[None] - pr[:, None] * banks.ctf_im[None]
+        sum_c, ssq_c = convolution_sums(conv_re, conv_im, banks.h, n)
+        prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
 
         def per_img_block(args):
             img_re_b, img_im_b, sref_b, ssref_b = args
@@ -402,7 +611,11 @@ class BioEMEngine:
     def initial_state(self) -> PosteriorState:
         return init_state(self.n_img_pad, self.n_orient_pad, self.p.write_angles > 0)
 
-    def run(self, progress: bool = False) -> PosteriorState:
+    def run(self, progress: bool = False, banks: Optional[Banks] = None) -> PosteriorState:
+        """One full posterior pass. ``banks`` overrides the engine's banks
+        (swap_model/swap_images) — same shapes reuse the compiled step."""
+        if banks is None:
+            banks = self.banks
         state = self.initial_state()
         ckpt = self.cfg.checkpoint_path
         if ckpt or progress or self.cfg.debug_output >= 1:
@@ -425,7 +638,7 @@ class BioEMEngine:
             for b in range(start_block, nblk):
                 with ts.time("BLOCK"):
                     state = self._step(
-                        state, self.banks, self.ang_blocks[b], self.offsets[b],
+                        state, banks, self.ang_blocks[b], self.offsets[b],
                         self.mask_blocks[b],
                     )
                     if self.cfg.debug_output >= 2 or (
@@ -447,20 +660,22 @@ class BioEMEngine:
                 print(ts.summary())
             return state
         return self._scan_run(
-            state, self.banks, self.ang_blocks, self.offsets, self.mask_blocks
+            state, banks, self.ang_blocks, self.offsets, self.mask_blocks
         )
 
     # ------------------------------------------------------------------
-    def results(self, state: PosteriorState) -> Results:
+    def results(self, state: PosteriorState, n_img: Optional[int] = None) -> Results:
         # to_host_global makes this multi-host-safe: each field is
         # allgathered across processes before the host-side math (the
         # analogue of the reference's MPI_Reduce to rank 0, bioem.cpp:935).
+        # ``n_img`` overrides the slice for streamed image chunks shorter
+        # than the engine's capacity (stream.py).
         from ..parallel.distributed import to_host_global
 
         p = self.p
         volu = orientation_volume_quirked(p, self.orients.voluang, self.grid)
         k_norm = log_normalization_constant(p, volu)
-        i = self.n_img
+        i = self.n_img if n_img is None else n_img
         total = to_host_global(state.total)[:i]
         const = to_host_global(state.const)[:i]
         with np.errstate(divide="ignore"):

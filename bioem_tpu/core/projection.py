@@ -50,7 +50,12 @@ class ProjectionSpec:
     method: str = "onehot"  # "onehot" | "scatter"
 
 
-def make_projection_spec(p, radii: np.ndarray, method: str = "onehot") -> ProjectionSpec:
+def make_projection_spec(
+    p, radii: np.ndarray, method: str = "onehot", stencil_half_min: int = 0
+) -> ProjectionSpec:
+    """``stencil_half_min`` pads the static stencil so one compiled step can
+    serve several models (multi-model ranking swaps model banks without
+    retracing; extra stencil rows carry zero weight)."""
     large = radii > p.pixel_size
     if large.any():
         irad_max = int(np.max((radii[large] / p.pixel_size).astype(np.int64)) + 1)
@@ -61,7 +66,7 @@ def make_projection_spec(p, radii: np.ndarray, method: str = "onehot") -> Projec
         pixel_size=p.pixel_size,
         shift_x=p.shift_x,
         shift_y=p.shift_y,
-        stencil_half=irad_max,
+        stencil_half=max(irad_max, stencil_half_min),
         method=method,
     )
 
@@ -210,9 +215,8 @@ class FourierProjectionSpec:
     pixel_size: float
     shift_x: int
     shift_y: int
-    n_groups: int  # radius groups G
+    n_groups: int  # radius groups G (possibly padded, see n_groups_pad)
     group_pad: int  # points per group after padding (Pp)
-    stencil_sums: tuple  # Σ of each group's unit-density stencil
 
 
 MAX_RADIUS_GROUPS = 32
@@ -232,25 +236,37 @@ def _unit_stencil(radius: float, pix: float) -> np.ndarray:
     return np.where(dist < rad2, chord, 0.0)
 
 
-def make_fourier_projection_spec(p, radii: np.ndarray):
-    """(spec, gather_idx, stencil_dfts) or None if too many radius groups.
+def make_fourier_projection_spec(
+    p, radii: np.ndarray, n_groups_pad: int = 0, group_pad: int = 0
+):
+    """(spec, gather_idx, pad_mask, stencil_dfts, stencil_sums) or None if
+    too many radius groups.
 
     ``gather_idx`` is a (G·Pp,) index into the model arrays laying points out
     as G uniform radius groups of Pp slots (groups padded with repeats of
     their first member — the engine zeroes the padding densities via
-    ``pad_mask``, stored as spec-side attribute on the returned index array's
-    companion); ``stencil_dfts`` is (G, N, F) complex64.
+    ``pad_mask``); ``stencil_dfts`` is (G, N, F) complex64 and
+    ``stencil_sums`` (G,) float32 (Σ of each group's unit-density stencil,
+    feeding tempden).
+
+    ``n_groups_pad``/``group_pad`` pad the layout to a common shape so one
+    compiled step can serve several models (padded groups carry zero
+    stencils and zero-density points).
     """
     uniq, inverse = np.unique(np.asarray(radii, np.float32), return_inverse=True)
-    if uniq.size > MAX_RADIUS_GROUPS:
+    limit = max(MAX_RADIUS_GROUPS, n_groups_pad)
+    if uniq.size > limit:
         return None
     n, nf = p.n_pixels, p.n_fft_1d
     groups = [np.nonzero(inverse == g)[0] for g in range(uniq.size)]
+    g_out = max(uniq.size, n_groups_pad)
     pp = max(len(m) for m in groups)
     pp = ((pp + 7) // 8) * 8  # sublane-align the group size
-    gather_idx = np.zeros(uniq.size * pp, np.int64)
-    pad_mask = np.zeros(uniq.size * pp, np.float32)
-    dfts, sums = [], []
+    pp = max(pp, group_pad)
+    gather_idx = np.zeros(g_out * pp, np.int64)
+    pad_mask = np.zeros(g_out * pp, np.float32)
+    dfts = [np.zeros((n, nf), np.complex64)] * g_out
+    sums = np.zeros(g_out, np.float32)
     for g, members in enumerate(groups):
         gather_idx[g * pp: g * pp + len(members)] = members
         gather_idx[g * pp + len(members): (g + 1) * pp] = members[0]
@@ -262,18 +278,17 @@ def make_fourier_projection_spec(p, radii: np.ndarray):
         k2 = np.arange(nf)[None, :]
         phx = np.exp(-2j * np.pi * np.outer(k1.ravel(), du) / n)  # (N, S)
         phy = np.exp(-2j * np.pi * np.outer(k2.ravel(), du) / n)  # (F, S)
-        dfts.append((phx @ st.astype(np.complex128) @ phy.T).astype(np.complex64))
-        sums.append(float(st.sum()))
+        dfts[g] = (phx @ st.astype(np.complex128) @ phy.T).astype(np.complex64)
+        sums[g] = st.sum()
     spec = FourierProjectionSpec(
         n_pixels=n,
         pixel_size=p.pixel_size,
         shift_x=p.shift_x,
         shift_y=p.shift_y,
-        n_groups=uniq.size,
+        n_groups=g_out,
         group_pad=pp,
-        stencil_sums=tuple(sums),
     )
-    return spec, gather_idx, pad_mask, np.stack(dfts)
+    return spec, gather_idx, pad_mask, np.stack(dfts), sums
 
 
 def project_fourier_one(
@@ -285,6 +300,7 @@ def project_fourier_one(
     norm_den: jnp.ndarray,
     st_re: jnp.ndarray,  # (U, N, F) stencil DFT table
     st_im: jnp.ndarray,
+    st_sums: jnp.ndarray,  # (U,) per-group unit-stencil sums (tempden)
 ):
     """rfft2 of the projection, split (re, im) float32 (N, F) pair."""
     n = fspec.n_pixels
@@ -333,17 +349,81 @@ def project_fourier_one(
     proj_im = jnp.sum(st_re * s_im + st_im * s_re, axis=0)
 
     group_dens = jnp.sum(dens_eff.reshape(g, pp), axis=1)
-    tempden = jnp.dot(
-        jnp.asarray(fspec.stencil_sums, jnp.float32), group_dens
-    )
+    tempden = jnp.dot(st_sums.astype(jnp.float32), group_dens)
     scale = norm_den / tempden
     return proj_re * scale, proj_im * scale
 
 
-def project_fourier_batch(fspec, rotmats, points, radii, densities, norm_den, st_re, st_im):
+def project_fourier_batch(
+    fspec, rotmats, points, radii, densities, norm_den, st_re, st_im, st_sums
+):
     """(O, N, F) split-complex rfft2 projections for an orientation block."""
     return jax.vmap(
         lambda rm: project_fourier_one(
-            fspec, rm, points, radii, densities, norm_den, st_re, st_im
+            fspec, rm, points, radii, densities, norm_den, st_re, st_im, st_sums
         )
     )(rotmats)
+
+
+# ---------------------------------------------------------------------------
+# Out-of-bounds diagnostics (reference bioem.cpp:1723-1731 warns per
+# projection when a point leaves the grid; a fully out-of-frame model gives
+# tempden == 0 → NaN via norm_den/tempden with no diagnostic otherwise)
+# ---------------------------------------------------------------------------
+
+
+def projection_always_in_bounds(
+    n: int, pix: float, shift_x: int, shift_y: int,
+    points: np.ndarray, radii: np.ndarray,
+) -> bool:
+    """Rotation-invariant sufficient condition for "no point ever leaves the
+    grid": the projected coordinate of a point is bounded by its 3D norm, so
+    if every point's worst-case pixel index (incl. its sphere footprint and
+    the SHIFT offsets) stays inside [0, N), no orientation can trigger the
+    reference's out-of-bounds skip. O(P) — lets the engine skip the full
+    per-orientation scan for well-centred models (the common case)."""
+    r3d = np.linalg.norm(np.asarray(points, np.float64), axis=1)
+    radii = np.asarray(radii, np.float64)
+    irad = np.where(radii > pix, (radii / pix).astype(np.int64) + 1, 0)
+    shift = max(abs(int(shift_x)), abs(int(shift_y)))
+    # worst |pixel offset from centre| ≤ r3d/pix + 0.5 (+ footprint + shift)
+    worst = r3d / pix + 0.5 + irad + shift
+    return bool(np.all(worst < n / 2.0 - 1.0))
+
+
+def projection_oob_report(
+    n: int, pix: float, shift_x: int, shift_y: int,
+    points: np.ndarray, radii: np.ndarray, rotmats: np.ndarray,
+    chunk: int = 256,
+):
+    """Per-orientation out-of-frame census, mirroring the rasteriser's
+    validity mask exactly (see _stencil_weights). Returns
+    ``(total_oob_point_evals, n_orient_affected, n_orient_all_oob)``.
+    NumPy, chunked over orientations — O(n_orient · P) at startup."""
+    points = np.asarray(points, np.float32)
+    radii = np.asarray(radii, np.float32)
+    rotmats = np.asarray(rotmats, np.float32)
+    small = radii <= pix
+    irad = (radii / pix).astype(np.int32) + 1
+    half = np.float32(n) / 2.0
+    total = 0
+    affected = 0
+    all_oob = 0
+    for s in range(0, rotmats.shape[0], chunk):
+        rm = rotmats[s:s + chunk]  # (B, 3, 3)
+        rot = np.einsum("bij,pj->bpi", rm, points)
+        x, y = rot[..., 0], rot[..., 1]
+        i_raw = np.floor(x / pix + half + 0.5).astype(np.int32)
+        j_raw = np.floor(y / pix + half + 0.5).astype(np.int32)
+        i0 = np.where(small, i_raw, i_raw - shift_x)
+        j0 = np.where(small, j_raw, j_raw - shift_y)
+        valid_small = (i_raw >= 0) & (j_raw >= 0) & (i_raw < n) & (j_raw < n)
+        valid_large = (
+            (i0 >= irad) & (j0 >= irad) & (i0 < n - irad) & (j0 < n - irad)
+        )
+        valid = np.where(small, valid_small, valid_large)  # (B, P)
+        oob = (~valid).sum(axis=1)
+        total += int(oob.sum())
+        affected += int((oob > 0).sum())
+        all_oob += int((oob == points.shape[0]).sum())
+    return total, affected, all_oob

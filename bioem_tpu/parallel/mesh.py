@@ -243,6 +243,17 @@ class ShardedBioEMEngine(BioEMEngine):
         self._state_specs = state_specs
 
     # ------------------------------------------------------------------
+    def _place_banks(self, host_fields: dict) -> Banks:
+        """swap_model/swap_images placement honouring the mesh sharding."""
+        specs = self.banks_specs._asdict()
+        return self.banks._replace(
+            **{
+                k: put_sharded(np.asarray(v), self.mesh, specs[k])
+                for k, v in host_fields.items()
+            }
+        )
+
+    # ------------------------------------------------------------------
     def initial_state(self) -> PosteriorState:
         st = init_state(self.n_img_pad, self.n_orient_pad, self.p.write_angles > 0)
 

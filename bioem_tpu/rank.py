@@ -25,22 +25,69 @@ from typing import List, Sequence
 import numpy as np
 
 from .config import RunConfig
+from .core.engine import BioEMEngine
 from .core.orientations import build_orientations
+from .core.projection import MAX_RADIUS_GROUPS
 from .io.map_io import read_ref_maps
 from .io.model_io import read_model
 from .params import read_parameters
-from .run import run_bioem
+
+
+def common_model_layout(p, models: Sequence, projection: str = "auto") -> dict:
+    """Model-array padding shared by all candidates, so one compiled engine
+    step serves every model (swap_model — no re-FFT of the image bank, no
+    retrace, no recompile per candidate)."""
+    lay = {"n_points_pad": max(m.points.shape[0] for m in models)}
+    if projection in ("auto", "fourier"):
+        g_max = pp_max = 0
+        fourier_ok = True
+        for m in models:
+            uniq, inverse = np.unique(
+                np.asarray(m.radii, np.float32), return_inverse=True
+            )
+            if uniq.size > MAX_RADIUS_GROUPS:
+                fourier_ok = False
+                break
+            counts = np.bincount(inverse, minlength=uniq.size)
+            pp = -(-int(counts.max()) // 8) * 8
+            g_max = max(g_max, int(uniq.size))
+            pp_max = max(pp_max, pp)
+        if fourier_ok:
+            lay["n_groups_pad"] = g_max
+            lay["group_pad"] = pp_max
+        else:
+            # One continuous-radius model forces the raster for ALL models
+            # (mixed projection paths would need two compiled steps).
+            lay["force_raster"] = True
+    sph = 0
+    for m in models:
+        large = m.radii > p.pixel_size
+        if large.any():
+            sph = max(sph, int((large * (m.radii / p.pixel_size)).max()) + 1)
+    lay["stencil_half"] = sph
+    return lay
 
 
 def rank_models(p, orients, models: Sequence, images, cfg=None, names=None):
-    """Returns (total_logp[m], per_image_logp[m, i], perf) for each model."""
+    """Returns (total_logp[m], per_image_logp[m, i], perf) for each model.
+
+    The engine (image FFT bank, CTF bank, orientation blocks, compiled step)
+    is built ONCE; each candidate swaps only its model arrays in — padded to
+    a common layout so the jitted step is reused without recompiling."""
+    import time
+
+    cfg = cfg or RunConfig()
+    layout = common_model_layout(p, models, cfg.projection)
+    eng = BioEMEngine(p, orients, models[0], images, cfg, model_layout=layout)
     per_image = []
     perf_all = {"run_s": 0.0, "comparisons": 0}
     for m, model in enumerate(models):
-        results, perf = run_bioem(p, orients, model, images, cfg)
+        banks = eng.banks if m == 0 else eng.swap_model(model)
+        t0 = time.perf_counter()
+        results = eng.results(eng.run(banks=banks))
+        perf_all["run_s"] += time.perf_counter() - t0
+        perf_all["comparisons"] += eng.n_img * eng.n_orient * eng.n_ctf
         per_image.append(results.log_prob)
-        perf_all["run_s"] += perf["run_s"]
-        perf_all["comparisons"] += perf["comparisons"]
     per_image = np.stack(per_image)  # (M, I)
     total = per_image.sum(axis=1)
     return total, per_image, perf_all

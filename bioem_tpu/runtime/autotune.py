@@ -23,16 +23,47 @@ import numpy as np
 from ..config import RunConfig
 
 
-def default_candidates(cfg: RunConfig) -> List[RunConfig]:
+VMEM_BUDGET = 96 << 20  # bytes usable for the image tile + weight residents
+
+
+def default_candidates(cfg: RunConfig, p=None, n_img: int = 0) -> List[RunConfig]:
+    """Shape-derived candidate set (reference analogue: the autotuner's
+    bisection domain, autotuner.cpp:118-149).
+
+    Tunables: the Pallas image tile (bounded by the VMEM budget — the tile,
+    both weight stacks and the per-oc conv block must stay resident), the
+    in-kernel vs XLA displacement LSE, and the orientation block. On
+    non-TPU backends only the XLA path's orientation block matters. Each
+    candidate costs a compile, so the set is kept small."""
+    on_tpu = jax.default_backend() == "tpu"
+    use_pallas = cfg.use_pallas if cfg.use_pallas is not None else on_tpu
     cands = []
-    for o_block in (4, 8, 16):
-        cands.append(replace(cfg, autotune=False, orient_block=o_block, use_pallas=False))
-        for tile in (8, 16):
-            cands.append(
-                replace(
-                    cfg, autotune=False, orient_block=o_block,
-                    use_pallas=True, pallas_img_tile=tile,
+    if use_pallas:
+        tiles = [t for t in (8, 16, 32, 64) if not n_img or t <= max(n_img, 8)]
+        if p is not None:
+            per_img = p.n_pixels * p.n_fft_1d * 2 * 4  # split-f32 spectrum
+            tiles = [t for t in tiles if t * per_img * 2 <= VMEM_BUDGET]
+        tiles = tiles[-3:]  # the largest feasible tiles dominate
+        for fused_lse in (False, True):
+            for t in tiles:
+                cands.append(
+                    replace(
+                        cfg, autotune=False, use_pallas=True,
+                        pallas_img_tile=t, fused_lse=fused_lse,
+                    )
                 )
+        for o_block in (4, 16):
+            if o_block != cfg.orient_block:
+                cands.append(
+                    replace(
+                        cfg, autotune=False, use_pallas=True,
+                        orient_block=o_block, fused_lse=False,
+                    )
+                )
+    else:
+        for o_block in (4, 8, 16):
+            cands.append(
+                replace(cfg, autotune=False, orient_block=o_block, use_pallas=False)
             )
     return cands
 
@@ -51,7 +82,11 @@ def autotune_config(
     """Pick the fastest RunConfig by timing real block steps per candidate."""
     from ..core.engine import BioEMEngine
 
-    candidates = list(candidates) if candidates is not None else default_candidates(cfg)
+    candidates = (
+        list(candidates)
+        if candidates is not None
+        else default_candidates(cfg, p=p, n_img=images.maps.shape[0])
+    )
     best_cfg, best_t = cfg, float("inf")
     for cand in candidates:
         try:

@@ -41,6 +41,44 @@ def test_fused_cc_matches_einsum(rng):
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), rtol=2e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("n_fold", [1, 2])
+@pytest.mark.parametrize("n_disp", [5, 21])
+def test_fused_cc_stacked_accuracy(rng, n_fold, n_disp):
+    """The stacked 3-pass bf16 body (the TPU production path) must stay at
+    the bf16-split rounding floor (~1e-5 rel) — NOT the single-pass bf16
+    level (~1e-3), which would move the displacement argmax. This guards
+    the in-kernel _split_hilo against a compiler simplifying the residual
+    ``x - f32(bf16(x))`` to zero (no optimization_barrier exists inside
+    Mosaic kernels). n_disp=21 exercises the dp=24 sublane padding."""
+    oc, i, n = 4, 8, 32
+    f = n // 2 + 1
+    step = 2 if n_fold > 1 else 1
+    disp = ((np.arange(n_disp) - n_disp // 2) * step).astype(np.int32)
+    wx, wy = displacement_dft_weights(n, disp)
+    conv_re = rng.normal(0, 1, (oc, n, f)).astype(np.float32)
+    conv_im = rng.normal(0, 1, (oc, n, f)).astype(np.float32)
+    img_re = rng.normal(0, 1, (i, n, f)).astype(np.float32)
+    img_im = rng.normal(0, 1, (i, n, f)).astype(np.float32)
+
+    p = (conv_re + 1j * conv_im).astype(np.complex128)[:, None] * (
+        img_re + 1j * img_im
+    ).astype(np.complex128)[None]
+    t1 = np.einsum("dn,oinf->oidf", wx.astype(np.complex128), p)
+    ref = np.einsum("ef,oidf->oide", wy.astype(np.complex128), t1).real
+
+    m = n // n_fold
+    a = jnp.asarray
+    out = fused_displacement_cc(
+        a(conv_re), a(conv_im), a(img_re), a(img_im),
+        a(np.ascontiguousarray(wx.real[:, :m])),
+        a(np.ascontiguousarray(wx.imag[:, :m])),
+        a(wy.real.copy()), a(wy.imag.copy()),
+        img_tile=4, n_fold=n_fold, mxu_mode="stacked",
+    )
+    err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+    assert err < 5e-5, f"stacked kernel degraded to single-pass bf16: {err:.2e}"
+
+
 def test_fused_cc_bad_tile_raises(rng):
     n = 8
     f = n // 2 + 1

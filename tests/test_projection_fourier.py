@@ -23,7 +23,7 @@ def test_fourier_matches_raster_fft(rng):
     spec = make_projection_spec(p, model.radii)
     fp = make_fourier_projection_spec(p, model.radii)
     assert fp is not None
-    fspec, gather_idx, pad_mask, st = fp
+    fspec, gather_idx, pad_mask, st, st_sums = fp
 
     orients = build_orientations(p)
     rotm = rotation_matrices(jnp.asarray(orients.angles[:3]), False)
@@ -42,6 +42,7 @@ def test_fourier_matches_raster_fft(rng):
         jnp.float32(model.norm_den),
         jnp.asarray(np.ascontiguousarray(st.real)),
         jnp.asarray(np.ascontiguousarray(st.imag)),
+        jnp.asarray(st_sums),
     )
     scale = np.abs(ref).max()
     np.testing.assert_allclose(np.asarray(pr), ref.real, atol=2e-4 * scale)
@@ -85,3 +86,46 @@ def test_fourier_mode_errors_on_continuous_radii(rng):
     orients = build_orientations(p)
     with pytest.raises(ValueError, match="32 distinct radii"):
         BioEMEngine(p, orients, model, images, RunConfig(projection="fourier"))
+
+
+# ---------------------------------------------------------------------------
+# Out-of-frame diagnostics (reference bioem.cpp:1723-1731)
+# ---------------------------------------------------------------------------
+
+
+def test_oob_warning_on_partially_outside_model(rng):
+    """Points that can leave the grid must trigger the once-per-run census
+    warning, and the run must still complete with finite posteriors."""
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng, n_points=8, spread=4.0)
+    # Push one point far enough that some orientations project it outside
+    # the 16-px frame but the model never leaves entirely.
+    model.points[0] = (30.0, 0.0, 0.0)
+    images = tiny_images(rng, 2, p.n_pixels)
+    with pytest.warns(RuntimeWarning, match="outside the 16x16 grid"):
+        eng = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    res = eng.results(eng.run())
+    assert np.all(np.isfinite(res.log_prob))
+
+
+def test_oob_error_on_fully_outside_model(rng):
+    """A model that projects entirely outside the grid for some orientation
+    (tempden == 0 → NaN) must raise instead of silently returning NaN."""
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng, n_points=4, spread=1.0)
+    model.points += np.float32(200.0)  # whole cloud far out of frame
+    images = tiny_images(rng, 2, p.n_pixels)
+    with pytest.raises(ValueError, match="entirely outside"):
+        BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+
+
+def test_in_bounds_model_skips_scan_and_warns_nothing(rng, recwarn):
+    """Well-centred model: the O(P) bound proves safety; no warning."""
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng, n_points=6, spread=3.0)
+    images = tiny_images(rng, 2, p.n_pixels)
+    BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    assert not [w for w in recwarn if issubclass(w.category, RuntimeWarning)]

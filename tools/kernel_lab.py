@@ -90,28 +90,29 @@ def device_ms(fn, args, tag):
                 total = e.get("dur", 0)
             durs[name] += e.get("dur", 0)
             cnts[name] += 1
-    cc = max(
-        (v for k, v in durs.items() if "closed_call" in k or "custom" in k),
-        default=0.0,
-    )
-    return cc / cnts.get(
-        next(k for k in durs if "closed_call" in k or "custom" in k), REPS
-    ) / 1e3 if cc else total / REPS / 1e3
+    matching = [k for k in durs if "closed_call" in k or "custom" in k]
+    if matching:
+        k = max(matching, key=durs.get)
+        return durs[k] / cnts[k] / 1e3
+    return total / REPS / 1e3
 
 
 def main():
-    from bioem_tpu.ops.compare_pallas import (
-        fused_displacement_cc,
-        fused_displacement_cc_v2,
-    )
+    from bioem_tpu.ops.compare_pallas import fused_displacement_cc
 
     args = build_args()
+
+    def v(tile, mode):
+        return lambda *a: fused_displacement_cc(
+            *a, img_tile=tile, n_fold=S, mxu_mode=mode
+        )
+
     variants = {
-        "v1_it16": lambda *a: fused_displacement_cc(*a, img_tile=16, n_fold=S),
-        "v1_it32": lambda *a: fused_displacement_cc(*a, img_tile=32, n_fold=S),
-        "v1_it8": lambda *a: fused_displacement_cc(*a, img_tile=8, n_fold=S),
-        "v2_it16": lambda *a: fused_displacement_cc_v2(*a, img_tile=16, n_fold=S),
-        "v2_it8": lambda *a: fused_displacement_cc_v2(*a, img_tile=8, n_fold=S),
+        "stacked_it8": v(8, "stacked"),
+        "stacked_it16": v(16, "stacked"),
+        "stacked_it32": v(32, "stacked"),
+        "stacked_it64": v(64, "stacked"),
+        "simple_bf16_it32": v(32, "default"),  # accuracy floor — bench only
     }
     want = sys.argv[1:] or list(variants)
     for name in want:

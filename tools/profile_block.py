@@ -62,7 +62,7 @@ def main():
         rotm = rotation_matrices(angles, eng.orients.use_quaternions)
         return project_fourier_batch(
             eng.fspec, rotm, banks.points, banks.radii, banks.dens,
-            banks.norm_den, banks.st_re, banks.st_im)
+            banks.norm_den, banks.st_re, banks.st_im, banks.st_sums)
 
     if eng.fspec is not None:
         t_proj = timeit(proj_only, eng.ang_blocks[0])
