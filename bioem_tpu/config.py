@@ -30,8 +30,12 @@ class RunConfig:
     # Device mesh: images × orientations. 1×1 = single chip.
     mesh_images: int = 1
     mesh_orient: int = 1
-    # Autotune block sizes before the main run.
-    autotune: bool = False
+    # Autotune block sizes before the main run. None = auto: on when the
+    # problem is large enough to amortise the candidate timing runs
+    # (n_orient·n_ctf·n_img ≥ run.AUTOTUNE_MIN_COMPARISONS — the analogue of
+    # the reference autotuner running by default whenever GPUs are used,
+    # /root/reference/autotuner.cpp:16-50). BIOEM_TPU_AUTOTUNE=0/1 forces.
+    autotune: Optional[bool] = None
     # Use the fused Pallas comparison kernel. None = auto: on for TPU
     # backends (it wins there), off elsewhere (interpret mode is slow).
     use_pallas: Optional[bool] = None

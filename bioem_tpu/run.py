@@ -20,6 +20,41 @@ from .io.model_io import Model
 from .params import BioEMParams
 
 
+# Below this many (image × orientation × ctf) comparisons the autotuner's
+# candidate timing runs cost more than they can recover; tiny runs (tests,
+# golden cases) stay on the hand-tuned defaults.
+AUTOTUNE_MIN_COMPARISONS = 150_000
+
+
+def maybe_autotune(p, orients, model, images, cfg: RunConfig) -> RunConfig:
+    """Resolve cfg.autotune (None = auto by problem size) and run the tuner.
+
+    The reference autotunes its GPU/CPU split by default on every GPU run
+    (/root/reference/autotuner.cpp:16-50, bioem.cpp:731-737); here the
+    analogue is tuning block sizes/kernel choice whenever the problem is
+    large enough to amortise the timing runs. Multi-device runs keep the
+    hand-tuned defaults (per-shard timing under shard_map is not meaningful
+    from the host loop)."""
+    if cfg.mesh_images * cfg.mesh_orient != 1:
+        return cfg
+    on = cfg.autotune
+    if on is None:
+        grid_n = getattr(p, "_ctf_grid_n", None)
+        if grid_n is None:
+            from .params import make_ctf_grid
+
+            grid_n = make_ctf_grid(p).n
+        comparisons = orients.n * grid_n * images.maps.shape[0]
+        on = comparisons >= AUTOTUNE_MIN_COMPARISONS
+    if not on:
+        return cfg
+    from .runtime.autotune import autotune_config
+
+    return autotune_config(
+        p, orients, model, images, cfg, verbose=cfg.debug_output >= 1
+    )
+
+
 def make_engine(
     p: BioEMParams,
     orients: OrientationSet,
@@ -47,12 +82,7 @@ def run_bioem(
     ``results.grid`` carries the CTF parameter grid for the output writers.
     """
     cfg = cfg or RunConfig.from_env()
-    if cfg.autotune and cfg.mesh_images * cfg.mesh_orient == 1:
-        from .runtime.autotune import autotune_config
-
-        cfg = autotune_config(
-            p, orients, model, images, cfg, verbose=cfg.debug_output >= 1
-        )
+    cfg = maybe_autotune(p, orients, model, images, cfg)
     eng = make_engine(p, orients, model, images, cfg)
     from .utils.timestat import profile_trace
 

@@ -13,6 +13,8 @@ logic at autotuner.cpp:35-50).
 
 from __future__ import annotations
 
+import json
+import os
 import time
 from dataclasses import replace
 from typing import List, Optional, Sequence
@@ -24,6 +26,51 @@ from ..config import RunConfig
 
 
 VMEM_BUDGET = 96 << 20  # bytes usable for the image tile + weight residents
+
+# Tuned fields persisted across processes (candidate compiles through a TPU
+# tunnel cost minutes; re-timing an already-tuned shape is waste — the
+# reference amortises the same way by recalibrating only every
+# RECALIB_FACTOR=200 projections, defs.h:197-202).
+_CACHED_FIELDS = ("orient_block", "image_block", "use_pallas",
+                  "pallas_img_tile", "fused_lse")
+
+
+def _cache_path() -> str:
+    return os.environ.get(
+        "BIOEM_TPU_AUTOTUNE_CACHE", os.path.join(os.getcwd(), ".bioem_tpu_autotune.json")
+    )
+
+
+def _cache_key(p, n_orient: int, n_img: int) -> str:
+    kind = jax.devices()[0].device_kind if jax.devices() else "cpu"
+    return (
+        f"{kind}|N{p.n_pixels}|D{p.nx_disp}|s{p.grid_space_center}"
+        f"|C{p.n_ctf}|I{n_img}|O{n_orient}"
+    )
+
+
+def _cache_load(key: str) -> Optional[dict]:
+    try:
+        with open(_cache_path()) as f:
+            return json.load(f).get(key)
+    except (OSError, ValueError):
+        return None
+
+
+def _cache_store(key: str, fields: dict) -> None:
+    path = _cache_path()
+    try:
+        data = {}
+        if os.path.exists(path):
+            with open(path) as f:
+                data = json.load(f)
+        data[key] = fields
+        tmp = path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(data, f, indent=1, sort_keys=True)
+        os.replace(tmp, path)
+    except OSError:
+        pass  # cache is an optimisation only
 
 
 def default_candidates(cfg: RunConfig, p=None, n_img: int = 0) -> List[RunConfig]:
@@ -79,9 +126,21 @@ def autotune_config(
     repeats: int = 2,
     verbose: bool = False,
 ) -> RunConfig:
-    """Pick the fastest RunConfig by timing real block steps per candidate."""
+    """Pick the fastest RunConfig by timing real block steps per candidate.
+
+    Results are cached per (device kind, problem shape) in
+    ``.bioem_tpu_autotune.json`` (override with BIOEM_TPU_AUTOTUNE_CACHE;
+    set it to /dev/null to disable) — a second run of the same shape reuses
+    the recorded winner instead of re-compiling every candidate.
+    """
     from ..core.engine import BioEMEngine
 
+    key = _cache_key(p, orients.n, images.maps.shape[0])
+    cached = _cache_load(key)
+    if cached is not None:
+        if verbose:
+            print(f"autotune: cached config for {key}: {cached}")
+        return replace(cfg, autotune=False, **cached)
     candidates = (
         list(candidates)
         if candidates is not None
@@ -95,16 +154,26 @@ def autotune_config(
             if verbose:
                 print(f"autotune: skip {cand}: {e}")
             continue
-        nb = min(blocks, eng.ang_blocks.shape[0])
+        # Same orientation span for every candidate (blocks is in units of
+        # the baseline cfg.orient_block), so the single scan-dispatch cost
+        # amortises identically across different block sizes.
+        target_orients = blocks * max(cfg.orient_block, 1)
+        nb = min(
+            max(1, -(-target_orients // eng.o_block)), eng.ang_blocks.shape[0]
+        )
+        # Time the jitted SCAN over nb blocks — the production run path.
+        # Timing eager per-block _step calls instead adds a host dispatch
+        # per block, which systematically favours big orient_blocks (fewer
+        # dispatches) even when the device-side step is slower; measured on
+        # v5e that mistuning costs ~7%.
+        ang = eng.ang_blocks[:nb]
+        off = eng.offsets[:nb]
+        msk = eng.mask_blocks[:nb]
         t_cand = float("inf")
         for _ in range(repeats + 1):  # first pass includes compile → dropped
             state = eng.initial_state()
             t0 = time.perf_counter()
-            for b in range(nb):
-                state = eng._step(
-                    state, eng.banks, eng.ang_blocks[b], eng.offsets[b],
-                    eng.mask_blocks[b],
-                )
+            state = eng._scan_run(state, eng.banks, ang, off, msk)
             jax.block_until_ready(state.total)
             np.asarray(state.total)  # force full sync (axon tunnel quirk)
             t_cand = min(t_cand, time.perf_counter() - t0)
@@ -117,4 +186,5 @@ def autotune_config(
             )
         if t_cand < best_t:
             best_t, best_cfg = t_cand, cand
+    _cache_store(key, {f: getattr(best_cfg, f) for f in _CACHED_FIELDS})
     return best_cfg

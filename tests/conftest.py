@@ -77,3 +77,11 @@ def tiny_images(rng, n_img, n_pixels) -> ImageStack:
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(autouse=True)
+def _isolate_autotune_cache(tmp_path, monkeypatch):
+    """Keep the autotuner's persistent cache out of the repo tree."""
+    monkeypatch.setenv(
+        "BIOEM_TPU_AUTOTUNE_CACHE", str(tmp_path / "autotune_cache.json")
+    )

@@ -151,3 +151,28 @@ def test_engine_pallas_write_angles(rng):
     r_x = e_x.results(e_x.run())
     r_p = e_p.results(e_p.run())
     np.testing.assert_allclose(r_p.angle_log, r_x.angle_log, rtol=1e-9, atol=1e-7)
+
+
+def test_engine_fused_lse_matches_xla(rng):
+    """fused_lse=True (in-kernel displacement LSE — autotuner-selectable in
+    production) == XLA engine, down to the argmax tuple."""
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+
+    eng_ref = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    eng_fl = BioEMEngine(
+        p, orients, model, images,
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2,
+                  fused_lse=True),
+    )
+    r_ref = eng_ref.results(eng_ref.run())
+    r_fl = eng_fl.results(eng_fl.run())
+
+    np.testing.assert_allclose(r_fl.log_prob, r_ref.log_prob, rtol=1e-9, atol=1e-7)
+    np.testing.assert_array_equal(r_fl.best_orient, r_ref.best_orient)
+    np.testing.assert_array_equal(r_fl.best_conv, r_ref.best_conv)
+    np.testing.assert_array_equal(r_fl.best_cent_x, r_ref.best_cent_x)
+    np.testing.assert_array_equal(r_fl.best_cent_y, r_ref.best_cent_y)
+    np.testing.assert_allclose(r_fl.best_norm, r_ref.best_norm, rtol=1e-5)

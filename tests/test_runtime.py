@@ -92,3 +92,68 @@ def test_timestat_summary():
     ts.add("BLOCK", 0.5)
     s = ts.summary()
     assert "BLOCK" in s and "mean" in s and "n=2" in s
+
+
+def test_maybe_autotune_threshold(rng, monkeypatch):
+    """cfg.autotune=None resolves by problem size (reference analogue: the
+    autotuner runs by default on every GPU run, autotuner.cpp:16-50)."""
+    from bioem_tpu import run as run_mod
+
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    calls = []
+    monkeypatch.setattr(
+        "bioem_tpu.runtime.autotune.autotune_config",
+        lambda *a, **k: calls.append(1) or a[4],
+    )
+    # tiny problem: auto stays off
+    cfg = run_mod.maybe_autotune(p, orients, model, images, RunConfig())
+    assert not calls
+    # forced on: runs regardless of size
+    run_mod.maybe_autotune(p, orients, model, images, RunConfig(autotune=True))
+    assert len(calls) == 1
+    # big problem (threshold crossed): auto turns on
+    monkeypatch.setattr(run_mod, "AUTOTUNE_MIN_COMPARISONS", 1)
+    run_mod.maybe_autotune(p, orients, model, images, RunConfig())
+    assert len(calls) == 2
+    # forced off beats the threshold
+    run_mod.maybe_autotune(p, orients, model, images, RunConfig(autotune=False))
+    assert len(calls) == 2
+    # multi-device: never tunes from the host loop
+    run_mod.maybe_autotune(
+        p, orients, model, images, RunConfig(autotune=True, mesh_orient=2)
+    )
+    assert len(calls) == 2
+
+
+def test_autotune_cache_roundtrip(rng, tmp_path, monkeypatch):
+    """Second autotune of the same shape reuses the recorded winner
+    without re-timing any candidate."""
+    monkeypatch.setenv(
+        "BIOEM_TPU_AUTOTUNE_CACHE", str(tmp_path / "tune.json")
+    )
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    cands = [RunConfig(orient_block=1), RunConfig(orient_block=2)]
+    best = autotune_config(
+        p, orients, model, images, RunConfig(), candidates=cands,
+        blocks=1, repeats=1,
+    )
+    # Cache hit: an empty candidate list would otherwise return cfg itself.
+    again = autotune_config(
+        p, orients, model, images, RunConfig(orient_block=7), candidates=[],
+        blocks=1, repeats=1,
+    )
+    assert again.orient_block == best.orient_block
+    assert again.pallas_img_tile == best.pallas_img_tile
+    # Different shape: cache miss → falls back to the (empty) candidates.
+    images2 = tiny_images(rng, 8, p.n_pixels)
+    miss = autotune_config(
+        p, orients, model, images2, RunConfig(orient_block=7), candidates=[],
+        blocks=1, repeats=1,
+    )
+    assert miss.orient_block == 7
