@@ -10,8 +10,8 @@ precision and mesh options, overridable via ``BIOEM_TPU_*`` env vars.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-from typing import Optional
+from dataclasses import dataclass, field
+from typing import FrozenSet, Optional
 
 
 @dataclass
@@ -57,6 +57,11 @@ class RunConfig:
     # Projection backend: "auto" (Fourier when the model has <= 32 distinct
     # radii, else raster), "fourier", or "raster".
     projection: str = "auto"
+    # Tuned fields the user pinned explicitly (env var or caller): the
+    # autotuner must never override these — a cached winner re-enabling a
+    # kernel the user force-disabled would violate the reference's contract
+    # that performance knobs are obeyed verbatim (doc/index.rst:1535-1653).
+    forced: FrozenSet[str] = field(default_factory=frozenset)
 
     @classmethod
     def from_env(cls) -> "RunConfig":
@@ -72,10 +77,14 @@ class RunConfig:
             "BIOEM_TPU_PALLAS_IMG_TILE": "pallas_img_tile",
             "BIOEM_TPU_CHECKPOINT_EVERY": "checkpoint_every",
         }
+        forced = set()
+        tunable = {"orient_block", "image_block", "pallas_img_tile"}
         for env, attr in mapping.items():
             v = os.environ.get(env)
             if v is not None:
                 setattr(cfg, attr, int(v))
+                if attr in tunable:
+                    forced.add(attr)
         cfg.checkpoint_path = os.environ.get("BIOEM_TPU_CHECKPOINT", "")
         cfg.profile_dir = os.environ.get("BIOEM_TPU_PROFILE_DIR", "")
         cfg.projection = os.environ.get("BIOEM_TPU_PROJECTION", "auto")
@@ -83,6 +92,9 @@ class RunConfig:
             cfg.autotune = bool(int(os.environ["BIOEM_TPU_AUTOTUNE"]))
         if os.environ.get("BIOEM_TPU_PALLAS"):
             cfg.use_pallas = bool(int(os.environ["BIOEM_TPU_PALLAS"]))
+            forced.add("use_pallas")
         if os.environ.get("BIOEM_TPU_FUSED_LSE"):
             cfg.fused_lse = bool(int(os.environ["BIOEM_TPU_FUSED_LSE"]))
+            forced.add("fused_lse")
+        cfg.forced = frozenset(forced)
         return cfg

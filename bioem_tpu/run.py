@@ -44,7 +44,15 @@ def maybe_autotune(p, orients, model, images, cfg: RunConfig) -> RunConfig:
             from .params import make_ctf_grid
 
             grid_n = make_ctf_grid(p).n
-        comparisons = orients.n * grid_n * images.maps.shape[0]
+        # Size at the shape the engine will actually run: debug caps
+        # (BIOEM_DEBUG_BREAK/NMAPS) shrink the problem after this check.
+        n_orient = min(orients.n, cfg.debug_break) if cfg.debug_break else orients.n
+        if cfg.debug_break:
+            grid_n = min(grid_n, cfg.debug_break)
+        n_img = images.maps.shape[0]
+        if cfg.debug_nmaps:
+            n_img = min(n_img, cfg.debug_nmaps)
+        comparisons = n_orient * grid_n * n_img
         on = comparisons >= AUTOTUNE_MIN_COMPARISONS
     if not on:
         return cfg

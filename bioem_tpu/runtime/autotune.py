@@ -41,11 +41,26 @@ def _cache_path() -> str:
     )
 
 
-def _cache_key(p, n_orient: int, n_img: int) -> str:
+def _bucket(n: int) -> int:
+    """Round up to the next power of two: the tuned winner depends on shape
+    *scale*, not exact counts — bucketing lets a production run with 4500
+    images reuse the entry tuned at 4096 instead of re-paying minutes of
+    tunnel compiles (ADVICE r2: exact-count keys never hit in production)."""
+    return 1 << max(int(n) - 1, 0).bit_length()
+
+
+def _cache_key(p, n_orient: int, n_img: int, cfg=None) -> str:
     kind = jax.devices()[0].device_kind if jax.devices() else "cpu"
+    forced = ""
+    if cfg is not None and cfg.forced:
+        # Forced knobs change which candidates are comparable — fold them
+        # into the key so a forced run never poisons the free-tuning entry.
+        forced = "|F" + ",".join(
+            f"{f}={getattr(cfg, f)}" for f in sorted(cfg.forced)
+        )
     return (
         f"{kind}|N{p.n_pixels}|D{p.nx_disp}|s{p.grid_space_center}"
-        f"|C{p.n_ctf}|I{n_img}|O{n_orient}"
+        f"|C{p.n_ctf}|I{_bucket(n_img)}|O{_bucket(n_orient)}{forced}"
     )
 
 
@@ -62,14 +77,17 @@ def _cache_store(key: str, fields: dict) -> None:
     try:
         data = {}
         if os.path.exists(path):
-            with open(path) as f:
-                data = json.load(f)
+            try:
+                with open(path) as f:
+                    data = json.load(f)
+            except (OSError, ValueError):
+                data = {}  # unreadable cache = start fresh, never abort a run
         data[key] = fields
         tmp = path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(data, f, indent=1, sort_keys=True)
         os.replace(tmp, path)
-    except OSError:
+    except (OSError, ValueError):
         pass  # cache is an optimisation only
 
 
@@ -84,14 +102,21 @@ def default_candidates(cfg: RunConfig, p=None, n_img: int = 0) -> List[RunConfig
     candidate costs a compile, so the set is kept small."""
     on_tpu = jax.default_backend() == "tpu"
     use_pallas = cfg.use_pallas if cfg.use_pallas is not None else on_tpu
+    forced = cfg.forced
     cands = []
     if use_pallas:
-        tiles = [t for t in (8, 16, 32, 64) if not n_img or t <= max(n_img, 8)]
-        if p is not None:
-            per_img = p.n_pixels * p.n_fft_1d * 2 * 4  # split-f32 spectrum
-            tiles = [t for t in tiles if t * per_img * 2 <= VMEM_BUDGET]
-        tiles = tiles[-3:]  # the largest feasible tiles dominate
-        for fused_lse in (False, True):
+        if "pallas_img_tile" in forced:
+            tiles = [cfg.pallas_img_tile]
+        else:
+            tiles = [t for t in (8, 16, 32, 64) if not n_img or t <= max(n_img, 8)]
+            if p is not None:
+                per_img = p.n_pixels * p.n_fft_1d * 2 * 4  # split-f32 spectrum
+                tiles = [t for t in tiles if t * per_img * 2 <= VMEM_BUDGET]
+            tiles = tiles[-3:]  # the largest feasible tiles dominate
+        lse_variants = (
+            (cfg.fused_lse,) if "fused_lse" in forced else (False, True)
+        )
+        for fused_lse in lse_variants:
             for t in tiles:
                 cands.append(
                     replace(
@@ -99,16 +124,21 @@ def default_candidates(cfg: RunConfig, p=None, n_img: int = 0) -> List[RunConfig
                         pallas_img_tile=t, fused_lse=fused_lse,
                     )
                 )
-        for o_block in (4, 16):
-            if o_block != cfg.orient_block:
-                cands.append(
-                    replace(
-                        cfg, autotune=False, use_pallas=True,
-                        orient_block=o_block, fused_lse=False,
+        if "orient_block" not in forced:
+            for o_block in (4, 16):
+                if o_block != cfg.orient_block:
+                    cands.append(
+                        replace(
+                            cfg, autotune=False, use_pallas=True,
+                            orient_block=o_block,
+                            fused_lse=cfg.fused_lse if "fused_lse" in forced else False,
+                        )
                     )
-                )
     else:
-        for o_block in (4, 8, 16):
+        o_blocks = (
+            (cfg.orient_block,) if "orient_block" in forced else (4, 8, 16)
+        )
+        for o_block in o_blocks:
             cands.append(
                 replace(cfg, autotune=False, orient_block=o_block, use_pallas=False)
             )
@@ -135,16 +165,25 @@ def autotune_config(
     """
     from ..core.engine import BioEMEngine
 
-    key = _cache_key(p, orients.n, images.maps.shape[0])
+    # Tune at the shape the engine will actually run (debug caps applied) —
+    # keying/tuning on the uncapped shape would poison the production cache
+    # entry with a winner measured on a reduced problem (ADVICE r2).
+    n_orient = min(orients.n, cfg.debug_break) if cfg.debug_break else orients.n
+    n_img = images.maps.shape[0]
+    if cfg.debug_nmaps:
+        n_img = min(n_img, cfg.debug_nmaps)
+    key = _cache_key(p, n_orient, n_img, cfg)
     cached = _cache_load(key)
     if cached is not None:
+        # Never override knobs the user pinned explicitly (cfg.forced).
+        cached = {k: v for k, v in cached.items() if k not in cfg.forced}
         if verbose:
             print(f"autotune: cached config for {key}: {cached}")
         return replace(cfg, autotune=False, **cached)
     candidates = (
         list(candidates)
         if candidates is not None
-        else default_candidates(cfg, p=p, n_img=images.maps.shape[0])
+        else default_candidates(cfg, p=p, n_img=n_img)
     )
     best_cfg, best_t = cfg, float("inf")
     for cand in candidates:
@@ -186,5 +225,9 @@ def autotune_config(
             )
         if t_cand < best_t:
             best_t, best_cfg = t_cand, cand
-    _cache_store(key, {f: getattr(best_cfg, f) for f in _CACHED_FIELDS})
+    if np.isfinite(best_t):
+        # Only persist a *timed* winner: if every candidate failed (e.g. a
+        # transient OOM) the untuned fallback must not become the cached
+        # answer for this shape forever (ADVICE r2).
+        _cache_store(key, {f: getattr(best_cfg, f) for f in _CACHED_FIELDS})
     return best_cfg

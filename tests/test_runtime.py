@@ -157,3 +157,90 @@ def test_autotune_cache_roundtrip(rng, tmp_path, monkeypatch):
         blocks=1, repeats=1,
     )
     assert miss.orient_block == 7
+
+
+def test_autotune_cache_never_overrides_forced_knobs(rng, tmp_path, monkeypatch):
+    """A cached winner must not silently re-enable a knob the user pinned
+    via env var (ADVICE r2): forced fields are excluded from the cached
+    replace AND folded into the cache key."""
+    monkeypatch.setenv("BIOEM_TPU_AUTOTUNE_CACHE", str(tmp_path / "tune.json"))
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    # Seed the cache with a free-tuning winner (orient_block=2).
+    autotune_config(
+        p, orients, model, images, RunConfig(), candidates=[RunConfig(orient_block=2)],
+        blocks=1, repeats=1,
+    )
+    # A user-forced orient_block=4 run keys differently (no stale hit) and
+    # keeps the forced value even when handed the free entry's key somehow.
+    forced_cfg = RunConfig(orient_block=4, forced=frozenset({"orient_block"}))
+    out = autotune_config(
+        p, orients, model, images, forced_cfg,
+        candidates=[], blocks=1, repeats=1,
+    )
+    assert out.orient_block == 4
+
+
+def test_autotune_corrupt_cache_does_not_crash(rng, tmp_path, monkeypatch):
+    """Unparseable cache file (e.g. /dev/null) must neither crash the load
+    nor the store (ADVICE r2: json.JSONDecodeError aborted large runs)."""
+    cache = tmp_path / "tune.json"
+    cache.write_text("{ not json")
+    monkeypatch.setenv("BIOEM_TPU_AUTOTUNE_CACHE", str(cache))
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    best = autotune_config(
+        p, orients, model, images, RunConfig(),
+        candidates=[RunConfig(orient_block=2)], blocks=1, repeats=1,
+    )
+    assert best.orient_block == 2
+    # Store rewrote the corrupt file with valid JSON containing the winner.
+    import json
+
+    data = json.loads(cache.read_text())
+    assert any(v.get("orient_block") == 2 for v in data.values())
+
+
+def test_autotune_no_store_without_timed_candidate(rng, tmp_path, monkeypatch):
+    """An all-failed (or empty) candidate sweep must not persist the untuned
+    fallback as the shape's winner (ADVICE r2)."""
+    cache = tmp_path / "tune.json"
+    monkeypatch.setenv("BIOEM_TPU_AUTOTUNE_CACHE", str(cache))
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    out = autotune_config(
+        p, orients, model, images, RunConfig(orient_block=3),
+        candidates=[], blocks=1, repeats=1,
+    )
+    assert out.orient_block == 3
+    assert not cache.exists()
+
+
+def test_autotune_debug_caps_shape_key(rng, tmp_path, monkeypatch):
+    """BIOEM_DEBUG_NMAPS-capped runs tune/key at the capped shape, so a
+    debug run never poisons the production entry (ADVICE r2)."""
+    from bioem_tpu.runtime.autotune import _cache_key
+
+    p = tiny_params()
+    images = tiny_images(rng, 8, p.n_pixels)
+    orients = build_orientations(p)
+    full = _cache_key(p, orients.n, 8, RunConfig())
+    # autotune_config with debug_nmaps=2 must key at I=2, not I=8.
+    monkeypatch.setenv("BIOEM_TPU_AUTOTUNE_CACHE", str(tmp_path / "t.json"))
+    model = tiny_model(rng)
+    autotune_config(
+        p, orients, model, images, RunConfig(debug_nmaps=2),
+        candidates=[RunConfig(debug_nmaps=2, orient_block=2)],
+        blocks=1, repeats=1,
+    )
+    import json
+
+    data = json.loads((tmp_path / "t.json").read_text())
+    assert full not in data
+    assert any("|I2|" in k for k in data)
