@@ -265,12 +265,12 @@ class BioEMEngine:
         self._step = jax.jit(self._block_step, donate_argnums=(0,))
         self._scan_run = jax.jit(self._run_scan, donate_argnums=(0,))
 
-        if cfg.checkpoint_path:
-            from ..runtime.checkpoint import problem_fingerprint
+        # Always computed (cheap: one sha256 over the small identifying
+        # arrays) — run() may enable checkpointing per-call via its
+        # checkpoint_path override even when cfg.checkpoint_path is empty.
+        from ..runtime.checkpoint import problem_fingerprint
 
-            self._fingerprint = problem_fingerprint(p, orients, model, images, cfg)
-        else:
-            self._fingerprint = ""
+        self._fingerprint = problem_fingerprint(p, orients, model, images, cfg)
 
     # ------------------------------------------------------------------
     # Bank builders. Image and model data enter the jitted step as explicit
@@ -611,13 +611,45 @@ class BioEMEngine:
     def initial_state(self) -> PosteriorState:
         return init_state(self.n_img_pad, self.n_orient_pad, self.p.write_angles > 0)
 
-    def run(self, progress: bool = False, banks: Optional[Banks] = None) -> PosteriorState:
+    def _checkpoint_fingerprint(self, banks, bank_tag: str) -> str:
+        """Fingerprint for this run's checkpoint, tied to the ACTIVE banks.
+
+        The construction-time fingerprint alone is wrong under
+        swap_images/swap_model: chunk 2 of a streamed run would silently
+        load chunk 1's completed checkpoint (same path, same fingerprint)
+        and return chunk 1's posterior for chunk 2's images. Swapped banks
+        therefore must carry a caller-supplied identity tag; refusing
+        loudly beats corrupting results (reference state-init contract,
+        bioem.cpp:681-699: every run starts from ITS inputs)."""
+        if banks is self.banks:
+            return self._fingerprint
+        if not bank_tag:
+            raise ValueError(
+                "checkpointing with swapped banks requires a bank_tag "
+                "identifying the active image chunk / model (see "
+                "stream.py / rank.py) — without one, a completed "
+                "checkpoint from a previous bank would be silently "
+                "loaded as this bank's result"
+            )
+        return f"{self._fingerprint}|bank:{bank_tag}"
+
+    def run(
+        self,
+        progress: bool = False,
+        banks: Optional[Banks] = None,
+        bank_tag: str = "",
+        checkpoint_path: Optional[str] = None,
+    ) -> PosteriorState:
         """One full posterior pass. ``banks`` overrides the engine's banks
-        (swap_model/swap_images) — same shapes reuse the compiled step."""
+        (swap_model/swap_images) — same shapes reuse the compiled step.
+        ``bank_tag`` identifies swapped banks for checkpointing;
+        ``checkpoint_path`` overrides cfg.checkpoint_path (per-chunk files
+        in streaming mode)."""
         if banks is None:
             banks = self.banks
         state = self.initial_state()
-        ckpt = self.cfg.checkpoint_path
+        ckpt = checkpoint_path if checkpoint_path is not None else self.cfg.checkpoint_path
+        fingerprint = self._checkpoint_fingerprint(banks, bank_tag) if ckpt else ""
         if ckpt or progress or self.cfg.debug_output >= 1:
             import time
 
@@ -629,7 +661,7 @@ class BioEMEngine:
             if ckpt:
                 from ..runtime.checkpoint import load_checkpoint, save_checkpoint
 
-                loaded = load_checkpoint(ckpt, self._fingerprint)
+                loaded = load_checkpoint(ckpt, fingerprint)
                 if loaded is not None:
                     state, start_block = loaded
                     if self.cfg.debug_output >= 1:
@@ -655,7 +687,7 @@ class BioEMEngine:
                         host = PosteriorState(
                             *(np.asarray(v) if v is not None else None for v in state)
                         )
-                        save_checkpoint(ckpt, host, b + 1, self._fingerprint)
+                        save_checkpoint(ckpt, host, b + 1, fingerprint)
             if self.cfg.debug_output >= 1 and ts.phases:
                 print(ts.summary())
             return state

@@ -81,16 +81,29 @@ def initialize(
         return
 
     # Auto-detectable cluster environments only; anything else is a normal
-    # single-host run and must not pay a connection-timeout penalty.
-    cluster_env = (
-        "JAX_COORDINATOR_ADDRESS",
-        "COORDINATOR_ADDRESS",
-        "SLURM_JOB_ID",
-        "OMPI_COMM_WORLD_SIZE",
-        "TPU_WORKER_HOSTNAMES",
-        "MEGASCALE_COORDINATOR_ADDRESS",
+    # single-host run and must not pay a connection-timeout penalty. The
+    # trigger requires evidence of MULTIPLE workers — a bare
+    # TPU_WORKER_HOSTNAMES=localhost (single-chip tunnel artifact) or a
+    # 1-task SLURM allocation is a single-host run, and auto-initialize
+    # would fail there for want of a coordinator address.
+    env = os.environ
+
+    def _gt1(var: str) -> bool:
+        try:
+            return int(env.get(var, "1")) > 1
+        except ValueError:
+            return False
+
+    multi_worker = (
+        "JAX_COORDINATOR_ADDRESS" in env
+        or "COORDINATOR_ADDRESS" in env
+        or "MEGASCALE_COORDINATOR_ADDRESS" in env
+        or _gt1("OMPI_COMM_WORLD_SIZE")
+        or _gt1("SLURM_NTASKS")
+        or _gt1("SLURM_NPROCS")
+        or "," in env.get("TPU_WORKER_HOSTNAMES", "")
     )
-    if any(v in os.environ for v in cluster_env):
+    if multi_worker:
         jax.distributed.initialize()
 
 

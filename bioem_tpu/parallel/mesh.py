@@ -57,13 +57,36 @@ class ShardedBioEMEngine(BioEMEngine):
         images: ImageStack,
         cfg: Optional[RunConfig] = None,
         mesh: Optional[Mesh] = None,
+        model_layout: Optional[dict] = None,
     ):
         cfg = cfg or RunConfig()
         self.mesh = mesh or make_bioem_mesh(cfg.mesh_images, cfg.mesh_orient)
         self.n_img_shards = self.mesh.shape["img"]
         self.n_orient_shards = self.mesh.shape["orient"]
-        super().__init__(p, orients, model, images, cfg)
+        super().__init__(p, orients, model, images, cfg, model_layout=model_layout)
         self._build_sharded()
+
+    def owned_image_rows(self) -> list:
+        """Global [start, stop) row ranges of the padded image axis whose
+        shards live on THIS process' devices — the per-host ingest contract
+        (each process reads only the particle images it will compute on,
+        like each MPI rank chunking its own images through its GPU,
+        reference map.cpp:549 + bioem.cpp:748-753)."""
+        from jax.sharding import NamedSharding
+
+        sharding = NamedSharding(self.mesh, P("img"))
+        imap = sharding.addressable_devices_indices_map((self.n_img_pad,))
+        spans = set()
+        for idx in imap.values():
+            sl = idx[0]
+            spans.add((sl.start or 0, self.n_img_pad if sl.stop is None else sl.stop))
+        merged = []
+        for a, b in sorted(spans):
+            if merged and a <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(b, merged[-1][1]))
+            else:
+                merged.append((a, b))
+        return merged
 
     # ------------------------------------------------------------------
     def _build_sharded(self):
@@ -285,19 +308,28 @@ class ShardedBioEMEngine(BioEMEngine):
 
         return PosteriorState(*(put(v, s) for v, s in zip(st, self._stacked_specs)))
 
-    def run(self, progress: bool = False) -> PosteriorState:
-        if self._chunks is None:
+    def run(
+        self,
+        progress: bool = False,
+        banks: Optional[Banks] = None,
+        bank_tag: str = "",
+        checkpoint_path: Optional[str] = None,
+    ) -> PosteriorState:
+        if banks is None:
+            banks = self.banks
+        ckpt = checkpoint_path if checkpoint_path is not None else self.cfg.checkpoint_path
+        if self._chunks is None or not ckpt:
             state = self.initial_state()
             return self._sharded_run(
-                state, self.banks, self.ang_blocks, self.offsets, self.mask_blocks
+                state, banks, self.ang_blocks, self.offsets, self.mask_blocks
             )
         # Chunked path with checkpoint/resume (pre-merge stacked state).
         from ..runtime.checkpoint import load_checkpoint, save_checkpoint
 
-        ckpt = self.cfg.checkpoint_path
+        fingerprint = self._checkpoint_fingerprint(banks, bank_tag)
         start = 0
         state = None
-        loaded = load_checkpoint(ckpt, self._fingerprint)
+        loaded = load_checkpoint(ckpt, fingerprint)
         if loaded is not None:
             host_state, start = loaded
             state = self._put_state(host_state)
@@ -307,12 +339,12 @@ class ShardedBioEMEngine(BioEMEngine):
             state = self._initial_stacked_state()
         for c in range(start, len(self._chunks)):
             ang, off, msk, loff = self._chunks[c]
-            state = self._chunk_run(state, self.banks, ang, off, msk, loff)
+            state = self._chunk_run(state, banks, ang, off, msk, loff)
             jax.block_until_ready(state.total)
             # Multi-host: gather the global state on every host; process 0
             # writes (the file is assumed to live on a shared filesystem,
             # like the reference's MPI-rank-0 output, bioem.cpp:1046).
             host = PosteriorState(*(to_host_global(v) for v in state))
             if jax.process_index() == 0:
-                save_checkpoint(ckpt, host, c + 1, self._fingerprint)
+                save_checkpoint(ckpt, host, c + 1, fingerprint)
         return self._merge_run(state)

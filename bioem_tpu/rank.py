@@ -73,18 +73,26 @@ def rank_models(p, orients, models: Sequence, images, cfg=None, names=None):
 
     The engine (image FFT bank, CTF bank, orientation blocks, compiled step)
     is built ONCE; each candidate swaps only its model arrays in — padded to
-    a common layout so the jitted step is reused without recompiling."""
+    a common layout so the jitted step is reused without recompiling. With
+    ``cfg.mesh_images``/``cfg.mesh_orient`` > 1 every candidate runs on the
+    device mesh (the sharded engine's swap_model places the swapped model
+    arrays according to the mesh sharding)."""
     import time
+
+    from .run import make_engine
 
     cfg = cfg or RunConfig()
     layout = common_model_layout(p, models, cfg.projection)
-    eng = BioEMEngine(p, orients, models[0], images, cfg, model_layout=layout)
+    eng = make_engine(p, orients, models[0], images, cfg, model_layout=layout)
     per_image = []
     perf_all = {"run_s": 0.0, "comparisons": 0}
     for m, model in enumerate(models):
         banks = eng.banks if m == 0 else eng.swap_model(model)
+        ckpt = f"{cfg.checkpoint_path}.model{m}" if cfg.checkpoint_path else None
         t0 = time.perf_counter()
-        results = eng.results(eng.run(banks=banks))
+        results = eng.results(
+            eng.run(banks=banks, bank_tag=f"model:{m}", checkpoint_path=ckpt)
+        )
         perf_all["run_s"] += time.perf_counter() - t0
         perf_all["comparisons"] += eng.n_img * eng.n_orient * eng.n_ctf
         per_image.append(results.log_prob)

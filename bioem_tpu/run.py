@@ -69,13 +69,16 @@ def make_engine(
     model: Model,
     images: ImageStack,
     cfg: Optional[RunConfig] = None,
+    model_layout: Optional[dict] = None,
 ) -> BioEMEngine:
     cfg = cfg or RunConfig.from_env()
     if cfg.mesh_images * cfg.mesh_orient > 1:
         from .parallel.mesh import ShardedBioEMEngine
 
-        return ShardedBioEMEngine(p, orients, model, images, cfg)
-    return BioEMEngine(p, orients, model, images, cfg)
+        return ShardedBioEMEngine(
+            p, orients, model, images, cfg, model_layout=model_layout
+        )
+    return BioEMEngine(p, orients, model, images, cfg, model_layout=model_layout)
 
 
 def run_bioem(

@@ -8,6 +8,16 @@ bank, orientation blocks, compiled step), and each chunk swaps only the
 image banks in (:meth:`BioEMEngine.swap_images` — same shapes, so the
 jitted step is reused with zero retracing).
 
+Streaming composes with the (images × orientations) device mesh and with
+multi-host execution, exactly as in the reference where image chunking and
+rank-sliced orientations compose per MPI rank (map.cpp:549 +
+bioem.cpp:748-753): with ``cfg.mesh_images``/``cfg.mesh_orient`` > 1 the
+chunk engine is a :class:`ShardedBioEMEngine`, each chunk's banks are
+placed according to the mesh sharding, and under multi-host execution each
+process reads only the image rows its devices own (per-host ingest; the
+first chunk is read fully everywhere so the checkpoint fingerprint is
+process-independent).
+
 Chunking trades re-projection for memory: every chunk re-runs the full
 orientation scan, so projection + CTF work is repeated ``n_chunks`` times.
 That is the right trade — the posterior state is per-image (cross-chunk
@@ -130,6 +140,33 @@ def _concat_results(parts: list[Results]) -> Results:
     )
 
 
+def _read_chunk_local(source: ImageSource, start: int, stop: int, eng) -> np.ndarray:
+    """Chunk [start, stop), reading from disk only the rows this process'
+    devices own (multi-host per-host ingest). Unowned rows are filled with
+    a finite placeholder — they are never placed on a local device
+    (put_sharded materialises owned shards only), so their values are
+    irrelevant; they only keep the host-side FFT/Σ precompute finite."""
+    import jax
+
+    n = stop - start
+    if jax.process_count() == 1 or not hasattr(eng, "owned_image_rows"):
+        return source.chunk(start, stop)
+    ranges = []
+    for a, b in eng.owned_image_rows():
+        a = max(a, 0)
+        b = min(b, n)  # owned ranges are in padded-capacity rows
+        if a < b:
+            ranges.append((a, b))
+    if not ranges:  # this process owns only padding rows of a short chunk
+        ranges = [(0, 1)]
+    first = source.chunk(start + ranges[0][0], start + ranges[0][1])
+    maps = np.broadcast_to(first[:1], (n,) + first.shape[1:]).copy()
+    maps[ranges[0][0]:ranges[0][1]] = first
+    for a, b in ranges[1:]:
+        maps[a:b] = source.chunk(start + a, start + b)
+    return maps
+
+
 def run_streaming(
     p,
     orients,
@@ -143,8 +180,18 @@ def run_streaming(
 
     Returns (results, perf) with results identical (same values) to a
     non-streamed run over the whole set — per-image state makes cross-chunk
-    merging exact concatenation.
+    merging exact concatenation. With ``cfg.mesh_images``/``cfg.mesh_orient``
+    > 1 each chunk runs on the device mesh (sharded engine); under
+    multi-host execution each process reads only its image shards.
+
+    Checkpointing composes: each chunk checkpoints to its own file
+    (``cfg.checkpoint_path + '.chunk<k>'``) under a fingerprint tied to the
+    chunk's image range, so a restarted run resumes chunk-accurate — a
+    completed earlier chunk is loaded, never recomputed, and never
+    mistaken for a later chunk's result.
     """
+    from .run import make_engine
+
     cfg = cfg or RunConfig()
     n_total = source.n_images
     chunk_images = min(chunk_images, n_total)
@@ -153,16 +200,25 @@ def run_streaming(
     perf = {"run_s": 0.0, "comparisons": 0, "chunks": 0}
     import time
 
-    for start in range(0, n_total, chunk_images):
+    for ci, start in enumerate(range(0, n_total, chunk_images)):
         stop = min(start + chunk_images, n_total)
-        maps = source.chunk(start, stop)
         if eng is None:
-            eng = BioEMEngine(p, orients, model, ImageStack(maps), cfg)
+            # First chunk is read fully on every process: engine
+            # construction hashes images[:1] into the checkpoint
+            # fingerprint, which must be process-independent.
+            maps = source.chunk(start, stop)
+            eng = make_engine(p, orients, model, ImageStack(maps), cfg)
             banks = eng.banks
         else:
+            maps = _read_chunk_local(source, start, stop, eng)
             banks = eng.swap_images(maps)
+        ckpt = f"{cfg.checkpoint_path}.chunk{ci}" if cfg.checkpoint_path else None
         t0 = time.perf_counter()
-        state = eng.run(banks=banks)
+        state = eng.run(
+            banks=banks,
+            bank_tag=f"images[{start}:{stop}]",
+            checkpoint_path=ckpt,
+        )
         parts.append(eng.results(state, n_img=stop - start))
         dt = time.perf_counter() - t0
         perf["run_s"] += dt

@@ -37,6 +37,7 @@ def build_tiny_problem():
 def main():
     out_path = sys.argv[1]
     ckpt_path = sys.argv[2] if len(sys.argv) > 2 else ""
+    mode = sys.argv[3] if len(sys.argv) > 3 else ""
 
     import jax
 
@@ -53,13 +54,38 @@ def main():
     from bioem_tpu.parallel.mesh import ShardedBioEMEngine
 
     p, orients, model, images = build_tiny_problem()
-    mesh = global_bioem_mesh(2, 2)
     cfg = RunConfig(orient_block=2, mesh_images=2, mesh_orient=2)
     if ckpt_path:
         cfg.checkpoint_path = ckpt_path
         cfg.checkpoint_every = 1
-    eng = ShardedBioEMEngine(p, orients, model, images, cfg, mesh=mesh)
-    res = eng.results(eng.run())
+    if mode == "stream":
+        # Streamed × sharded × multi-host: 2 chunks of 2 images through the
+        # global 2×2 mesh, per-host ingest for every chunk after the first.
+        from bioem_tpu.stream import ArraySource, run_streaming
+
+        reads = []
+
+        class RecordingSource(ArraySource):
+            def chunk(self, start, stop):
+                reads.append((start, stop))
+                return super().chunk(start, stop)
+
+        res, perf = run_streaming(
+            p, orients, model, RecordingSource(images.maps), cfg,
+            chunk_images=2,
+        )
+        assert perf["chunks"] == 2, perf
+        if jax.process_index() == 1:
+            # Per-host ingest: process 1 owns only padding rows of chunk 2
+            # (all real rows shard onto process 0's devices for this tiny
+            # shape), so it must read at most 1 fallback row — never the
+            # full chunk.
+            later = [(a, b) for (a, b) in reads if a >= 2]
+            assert sum(b - a for a, b in later) <= 1, reads
+    else:
+        mesh = global_bioem_mesh(2, 2)
+        eng = ShardedBioEMEngine(p, orients, model, images, cfg, mesh=mesh)
+        res = eng.results(eng.run())
 
     if jax.process_index() == 0:
         np.savez(

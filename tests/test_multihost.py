@@ -32,7 +32,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _launch_workers(tmp_path, ckpt=""):
+def _launch_workers(tmp_path, ckpt="", mode=""):
     port = _free_port()
     out = str(tmp_path / "mp_result.npz")
     procs = []
@@ -51,7 +51,7 @@ def _launch_workers(tmp_path, ckpt=""):
                 env.pop(k)
         procs.append(
             subprocess.Popen(
-                [sys.executable, WORKER, out, ckpt],
+                [sys.executable, WORKER, out, ckpt, mode],
                 env=env,
                 stdout=subprocess.PIPE,
                 stderr=subprocess.STDOUT,
@@ -93,6 +93,22 @@ def test_two_process_run_matches_single(tmp_path, single_process_ref):
     np.testing.assert_array_equal(got["best_conv"], ref.best_conv)
     np.testing.assert_array_equal(got["best_cent_x"], ref.best_cent_x)
     np.testing.assert_array_equal(got["best_cent_y"], ref.best_cent_y)
+    np.testing.assert_array_equal(got["best_norm"], ref.best_norm)
+    np.testing.assert_array_equal(got["angle_log"], ref.angle_log)
+
+
+def test_two_process_streamed_run(tmp_path, single_process_ref):
+    """Streamed × sharded × multi-host (the BASELINE-config-5 control path):
+    2 image chunks streamed through the global 2×2 mesh by 2 processes with
+    per-host ingest must match the single-process non-streamed run exactly.
+    Reference analogue: every MPI rank chunks its own images through its GPU
+    (map.cpp:549 + bioem.cpp:748-753)."""
+    got = _launch_workers(tmp_path, mode="stream")
+    ref = single_process_ref
+    np.testing.assert_array_equal(got["log_prob"], ref.log_prob)
+    np.testing.assert_array_equal(got["best_orient"], ref.best_orient)
+    np.testing.assert_array_equal(got["best_conv"], ref.best_conv)
+    np.testing.assert_array_equal(got["best_cent_x"], ref.best_cent_x)
     np.testing.assert_array_equal(got["best_norm"], ref.best_norm)
     np.testing.assert_array_equal(got["angle_log"], ref.angle_log)
 

@@ -107,6 +107,150 @@ def test_streaming_write_angles(rng):
     np.testing.assert_allclose(res.angle_log, full.angle_log, rtol=0, atol=1e-10)
 
 
+def test_streamed_sharded_matches_nonstreamed_sharded(rng):
+    """BASELINE config 5 composition: image streaming THROUGH the
+    (img × orient) mesh — a 4-chunk streamed sharded run must equal the
+    non-streamed sharded run exactly (reference: image chunking and
+    rank-sliced orientations compose per MPI rank, map.cpp:549 +
+    bioem.cpp:748-753)."""
+    from bioem_tpu.parallel.mesh import ShardedBioEMEngine
+
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 8, p.n_pixels)
+    cfg = RunConfig(orient_block=2, mesh_images=2, mesh_orient=4)
+
+    eng = ShardedBioEMEngine(p, orients, model, images, cfg)
+    ref = eng.results(eng.run())
+
+    res, perf = run_streaming(
+        p, orients, model, ArraySource(images.maps), cfg, chunk_images=2
+    )
+    assert perf["chunks"] == 4
+    np.testing.assert_array_equal(res.log_prob, ref.log_prob)
+    np.testing.assert_array_equal(res.best_orient, ref.best_orient)
+    np.testing.assert_array_equal(res.best_conv, ref.best_conv)
+    np.testing.assert_array_equal(res.best_cent_x, ref.best_cent_x)
+    np.testing.assert_array_equal(res.best_norm, ref.best_norm)
+
+
+def test_streamed_sharded_write_angles(rng):
+    from bioem_tpu.parallel.mesh import ShardedBioEMEngine
+
+    p = tiny_params(write_angles=2)
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    cfg = RunConfig(orient_block=2, mesh_images=2, mesh_orient=2)
+    eng = ShardedBioEMEngine(p, orients, model, images, cfg)
+    ref = eng.results(eng.run())
+    res, _ = run_streaming(
+        p, orients, model, ArraySource(images.maps), cfg, chunk_images=2
+    )
+    np.testing.assert_array_equal(res.angle_log, ref.angle_log)
+
+
+def test_rank_on_mesh_matches_single_device(rng):
+    """Multi-model ranking over the device mesh (swap_model placement must
+    honour the mesh sharding)."""
+    p = tiny_params()
+    orients = build_orientations(p)
+    models = [tiny_model(rng, n_points=12), tiny_model(rng, n_points=9)]
+    images = tiny_images(rng, 4, p.n_pixels)
+
+    total_1, per_image_1, _ = rank_models(
+        p, orients, models, images, RunConfig(orient_block=2)
+    )
+    total_m, per_image_m, _ = rank_models(
+        p, orients, models, images,
+        RunConfig(orient_block=2, mesh_images=2, mesh_orient=2),
+    )
+    np.testing.assert_allclose(per_image_m, per_image_1, rtol=0, atol=1e-9)
+
+
+def test_run_with_swapped_banks_requires_bank_tag(rng, tmp_path):
+    """Checkpointing + swapped banks without an identity tag must refuse
+    loudly: a completed checkpoint from bank A would otherwise be silently
+    returned as bank B's result (round-2 VERDICT correctness bug)."""
+    import pytest as _pytest
+
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 2, p.n_pixels)
+    cfg = RunConfig(
+        orient_block=2, checkpoint_path=str(tmp_path / "s.npz"),
+        checkpoint_every=1,
+    )
+    eng = BioEMEngine(p, orients, model, images, cfg)
+    other = tiny_images(rng, 2, p.n_pixels)
+    banks2 = eng.swap_images(other.maps)
+    with _pytest.raises(ValueError, match="bank_tag"):
+        eng.run(banks=banks2)
+
+
+def test_streaming_checkpoint_chunk2_computes_not_loads(rng, tmp_path):
+    """Streamed chunk 2 with checkpointing enabled must COMPUTE its result
+    (per-chunk fingerprint + per-chunk file), never load chunk 1's completed
+    state; and a restarted streamed run resumes chunk-accurate."""
+    import os
+
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+
+    plain = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    ref = plain.results(plain.run())
+
+    ckpt = str(tmp_path / "stream.npz")
+    cfg = RunConfig(orient_block=2, checkpoint_path=ckpt, checkpoint_every=1)
+    res, perf = run_streaming(
+        p, orients, model, ArraySource(images.maps), cfg, chunk_images=2
+    )
+    assert perf["chunks"] == 2
+    assert os.path.exists(ckpt + ".chunk0") and os.path.exists(ckpt + ".chunk1")
+    # chunk 2's images get chunk 2's posterior (the round-2 bug returned
+    # chunk 1's state for every later chunk)
+    np.testing.assert_allclose(res.log_prob, ref.log_prob, rtol=1e-12)
+    np.testing.assert_array_equal(res.best_orient, ref.best_orient)
+
+    # Restart: both chunks resume from their completed checkpoints and the
+    # result is unchanged.
+    res2, _ = run_streaming(
+        p, orients, model, ArraySource(images.maps), cfg, chunk_images=2
+    )
+    np.testing.assert_array_equal(res2.log_prob, res.log_prob)
+
+
+def test_streamed_sharded_checkpoint(rng, tmp_path):
+    """Streaming × sharding × checkpointing all composed (the full
+    BASELINE-config-5 control path on the CPU mesh)."""
+    from bioem_tpu.parallel.mesh import ShardedBioEMEngine
+
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+
+    cfg_plain = RunConfig(orient_block=2, mesh_images=2, mesh_orient=2)
+    eng = ShardedBioEMEngine(p, orients, model, images, cfg_plain)
+    ref = eng.results(eng.run())
+
+    ckpt = str(tmp_path / "ss.npz")
+    cfg = RunConfig(
+        orient_block=2, mesh_images=2, mesh_orient=2,
+        checkpoint_path=ckpt, checkpoint_every=1,
+    )
+    res, perf = run_streaming(
+        p, orients, model, ArraySource(images.maps), cfg, chunk_images=2
+    )
+    assert perf["chunks"] == 2
+    np.testing.assert_allclose(res.log_prob, ref.log_prob, rtol=1e-12)
+    np.testing.assert_array_equal(res.best_orient, ref.best_orient)
+
+
 def test_mrc_stack_source_chunks(rng, tmp_path):
     from bioem_tpu.io.map_io import read_mrc_maps
     from bioem_tpu.io.mrc import write_mrc

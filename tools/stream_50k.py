@@ -12,7 +12,10 @@ never materialises the 10 GB stack either. Orientation count is kept small
 (the image axis is what's under test; scale orientations with
 tools/scale_bench.py).
 
-Usage: python tools/stream_50k.py [n_images] [chunk]   (default 50000 1024)
+Usage: python tools/stream_50k.py [n_images] [chunk] [--mesh IxO]
+(defaults: 50000 1024, no mesh). ``--mesh 2x4`` streams every chunk
+through a 2×4 (img × orient) device mesh — the full BASELINE config-5
+composition (streaming × sharding; add the multi-host env for × hosts).
 """
 
 import json
@@ -44,8 +47,21 @@ class SyntheticSource:
 
 
 def main():
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
-    chunk = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
+    args = list(sys.argv[1:])
+    mesh_shape = None
+    if "--mesh" in args:
+        i = args.index("--mesh")
+        mesh_shape = tuple(int(v) for v in args[i + 1].split("x"))
+        del args[i:i + 2]
+    n_images = int(args[0]) if len(args) > 0 else 50_000
+    chunk = int(args[1]) if len(args) > 1 else 1024
+
+    if os.environ.get("BIOEM_TPU_FORCE_CPU"):
+        # The axon TPU plugin ignores JAX_PLATFORMS=cpu; only the config
+        # update after import is authoritative (CPU-mesh smoke testing).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     from bench import build_problem
     from bioem_tpu.config import RunConfig
@@ -61,6 +77,11 @@ def main():
     )
     cfg = RunConfig.from_env()
     cfg.autotune = False
+    if mesh_shape is not None:
+        from bioem_tpu.parallel.distributed import initialize
+
+        initialize()  # no-op single-host
+        cfg.mesh_images, cfg.mesh_orient = mesh_shape
     src = SyntheticSource(n_images, p.n_pixels)
     t0 = time.perf_counter()
     results, perf = run_streaming(
@@ -80,6 +101,7 @@ def main():
         pass
     print(json.dumps({
         "n_images": n_images,
+        "mesh": list(mesh_shape) if mesh_shape else [1, 1],
         "n_orient": n_orient,
         "n_ctf": p.n_ctf,
         "chunk_images": chunk,
