@@ -116,6 +116,23 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = RunConfig.from_env()
 
+    import os
+
+    if os.environ.get("BIOEM_TPU_FORCE_CPU"):
+        # Some TPU plugins ignore JAX_PLATFORMS=cpu; only the config update
+        # after import is authoritative (CPU-mesh smoke testing / CI).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    # Multi-host bootstrap (reference main.cpp:64-68 runs MPI_Init
+    # unconditionally; initialize() is a safe no-op single-host). Must come
+    # before anything touches the XLA backend. The (img × orient) mesh comes
+    # from BIOEM_TPU_MESH_IMAGES/_ORIENT via RunConfig.
+    from .parallel.distributed import initialize
+
+    initialize()
+
     if args.ReadMultipleMRC and not args.ReadMRC:
         print("Error - For multiple MRCs command --ReadMRC is necessary too")
         return 1
@@ -199,11 +216,16 @@ def main(argv=None) -> int:
             f"({perf['comparisons_per_s']:.3e} comparisons/s)"
         )
 
-    with open(args.OutputFile, "w") as f:
-        write_probabilities(f, p, orients, results.grid, results)
-    if p.write_angles:
-        with open(defs.FILE_ANG_PROB, "w") as f:
-            write_angle_probabilities(f, p, orients, results)
+    # Output on process 0 only (reference: MPI rank 0 writes,
+    # bioem.cpp:1046) — results() has already allgathered across hosts.
+    import jax
+
+    if jax.process_index() == 0:
+        with open(args.OutputFile, "w") as f:
+            write_probabilities(f, p, orients, results.grid, results)
+        if p.write_angles:
+            with open(defs.FILE_ANG_PROB, "w") as f:
+                write_angle_probabilities(f, p, orients, results)
     return 0
 
 

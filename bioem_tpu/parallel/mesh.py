@@ -251,6 +251,17 @@ class ShardedBioEMEngine(BioEMEngine):
             )
             self._stacked_specs = stacked_specs
 
+        # Host copies of the leading orientation blocks for the autotuner's
+        # timing program (time_blocks replays them replicated on every
+        # orientation shard — per-shard work identical to production).
+        keep = min(32, n_blk)
+        self._blk_host = (
+            np.asarray(self.ang_blocks[:keep]),
+            np.asarray(self.offsets[:keep]),
+            np.asarray(self.mask_blocks[:keep]),
+        )
+        self._timing_runs = {}
+
         # Place inputs according to their specs so no implicit reshard runs.
         # put_sharded materialises only process-local shards, so this path
         # is multi-host-safe (each host feeds the image shards it owns).
@@ -307,6 +318,63 @@ class ShardedBioEMEngine(BioEMEngine):
             return put_sharded(x, self.mesh, spec)
 
         return PosteriorState(*(put(v, s) for v, s in zip(st, self._stacked_specs)))
+
+    def time_blocks(self, target_orients: int, repeats: int = 2) -> float:
+        """Autotuner probe on the mesh: time a shard_map'd scan with every
+        orientation shard replaying the SAME leading blocks (replicated
+        inputs) — per-shard, per-step work is identical to the production
+        sharded scan, so candidate ranking transfers. Returns seconds per
+        per-shard orientation (the per-chip cost the tuner minimises)."""
+        import time as _time
+
+        nb = min(
+            max(1, _cdiv(target_orients, self.o_block)), self._blk_host[0].shape[0]
+        )
+        if nb not in self._timing_runs:
+            state_specs = self._state_specs
+            banks_specs = self.banks_specs
+            rep = P()
+
+            def shard_fn(state, banks, ang_blocks, offsets, masks):
+                local_off = (
+                    jnp.arange(nb, dtype=jnp.int32) * self.o_block
+                )
+
+                def body(st, xs):
+                    ang, off, mask, loff = xs
+                    return (
+                        self._block_step(st, banks, ang, off, mask, ang_offset=loff),
+                        None,
+                    )
+
+                state, _ = jax.lax.scan(
+                    body, state, (ang_blocks, offsets, masks, local_off)
+                )
+                return merge_across_orient(state, "orient")
+
+            self._timing_runs[nb] = jax.jit(
+                jax.shard_map(
+                    shard_fn,
+                    mesh=self.mesh,
+                    in_specs=(state_specs, banks_specs, rep, rep, rep),
+                    out_specs=state_specs,
+                    check_vma=False,
+                ),
+                donate_argnums=(0,),
+            )
+        fn = self._timing_runs[nb]
+        ang = put_sharded(self._blk_host[0][:nb], self.mesh, P())
+        off = put_sharded(self._blk_host[1][:nb], self.mesh, P())
+        msk = put_sharded(self._blk_host[2][:nb], self.mesh, P())
+        best = float("inf")
+        for _ in range(repeats + 1):
+            state = self.initial_state()
+            t0 = _time.perf_counter()
+            state = fn(state, self.banks, ang, off, msk)
+            jax.block_until_ready(state.total)
+            np.asarray(to_host_global(state.total))  # full sync
+            best = min(best, _time.perf_counter() - t0)
+        return best / (nb * self.o_block)
 
     def run(
         self,

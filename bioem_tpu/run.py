@@ -32,11 +32,22 @@ def maybe_autotune(p, orients, model, images, cfg: RunConfig) -> RunConfig:
     The reference autotunes its GPU/CPU split by default on every GPU run
     (/root/reference/autotuner.cpp:16-50, bioem.cpp:731-737); here the
     analogue is tuning block sizes/kernel choice whenever the problem is
-    large enough to amortise the timing runs. Multi-device runs keep the
-    hand-tuned defaults (per-shard timing under shard_map is not meaningful
-    from the host loop)."""
-    if cfg.mesh_images * cfg.mesh_orient != 1:
-        return cfg
+    large enough to amortise the timing runs. Mesh runs tune too (the
+    sharded engine times its own shard_map'd scan); multi-HOST runs keep
+    the hand-tuned defaults unless forced — candidate timing is collective
+    across processes, and a cache-file divergence between hosts would
+    deadlock the fleet on mismatched compile sets."""
+    if cfg.mesh_images * cfg.mesh_orient != 1 and jax.process_count() > 1:
+        if cfg.autotune:
+            import warnings
+
+            warnings.warn(
+                "autotune forced on a multi-host run: all processes must "
+                "share the autotune cache file or timing may deadlock",
+                RuntimeWarning,
+            )
+        else:
+            return cfg
     on = cfg.autotune
     if on is None:
         grid_n = getattr(p, "_ctf_grid_n", None)

@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import json
 import os
-import time
 from dataclasses import replace
 from typing import List, Optional, Sequence
 
@@ -52,15 +51,20 @@ def _bucket(n: int) -> int:
 def _cache_key(p, n_orient: int, n_img: int, cfg=None) -> str:
     kind = jax.devices()[0].device_kind if jax.devices() else "cpu"
     forced = ""
+    mesh = ""
     if cfg is not None and cfg.forced:
         # Forced knobs change which candidates are comparable — fold them
         # into the key so a forced run never poisons the free-tuning entry.
         forced = "|F" + ",".join(
             f"{f}={getattr(cfg, f)}" for f in sorted(cfg.forced)
         )
+    if cfg is not None and cfg.mesh_images * cfg.mesh_orient != 1:
+        # Per-shard shapes differ from the single-chip case; a mesh run must
+        # never reuse (or poison) the single-chip entry.
+        mesh = f"|M{cfg.mesh_images}x{cfg.mesh_orient}"
     return (
         f"{kind}|N{p.n_pixels}|D{p.nx_disp}|s{p.grid_space_center}"
-        f"|C{p.n_ctf}|I{_bucket(n_img)}|O{_bucket(n_orient)}{forced}"
+        f"|C{p.n_ctf}|I{_bucket(n_img)}|O{_bucket(n_orient)}{mesh}{forced}"
     )
 
 
@@ -163,7 +167,7 @@ def autotune_config(
     set it to /dev/null to disable) — a second run of the same shape reuses
     the recorded winner instead of re-compiling every candidate.
     """
-    from ..core.engine import BioEMEngine
+    from ..run import make_engine
 
     # Tune at the shape the engine will actually run (debug caps applied) —
     # keying/tuning on the uncapped shape would poison the production cache
@@ -180,44 +184,28 @@ def autotune_config(
         if verbose:
             print(f"autotune: cached config for {key}: {cached}")
         return replace(cfg, autotune=False, **cached)
+    # Mesh runs tune on per-shard shapes (the kernel sees one image shard).
+    n_img_local = -(-n_img // max(cfg.mesh_images, 1))
     candidates = (
         list(candidates)
         if candidates is not None
-        else default_candidates(cfg, p=p, n_img=n_img)
+        else default_candidates(cfg, p=p, n_img=n_img_local)
     )
     best_cfg, best_t = cfg, float("inf")
     for cand in candidates:
         try:
-            eng = BioEMEngine(p, orients, model, images, cand)
+            eng = make_engine(p, orients, model, images, cand)
         except Exception as e:  # incompatible candidate (e.g. tile > images)
             if verbose:
                 print(f"autotune: skip {cand}: {e}")
             continue
         # Same orientation span for every candidate (blocks is in units of
         # the baseline cfg.orient_block), so the single scan-dispatch cost
-        # amortises identically across different block sizes.
+        # amortises identically across different block sizes. time_blocks
+        # times the jitted SCAN (the production run path; the sharded
+        # engine times its shard_map'd scan) — see BioEMEngine.time_blocks.
         target_orients = blocks * max(cfg.orient_block, 1)
-        nb = min(
-            max(1, -(-target_orients // eng.o_block)), eng.ang_blocks.shape[0]
-        )
-        # Time the jitted SCAN over nb blocks — the production run path.
-        # Timing eager per-block _step calls instead adds a host dispatch
-        # per block, which systematically favours big orient_blocks (fewer
-        # dispatches) even when the device-side step is slower; measured on
-        # v5e that mistuning costs ~7%.
-        ang = eng.ang_blocks[:nb]
-        off = eng.offsets[:nb]
-        msk = eng.mask_blocks[:nb]
-        t_cand = float("inf")
-        for _ in range(repeats + 1):  # first pass includes compile → dropped
-            state = eng.initial_state()
-            t0 = time.perf_counter()
-            state = eng._scan_run(state, eng.banks, ang, off, msk)
-            jax.block_until_ready(state.total)
-            np.asarray(state.total)  # force full sync (axon tunnel quirk)
-            t_cand = min(t_cand, time.perf_counter() - t0)
-        # normalise per orientation (block sizes differ)
-        t_cand /= nb * eng.o_block
+        t_cand = eng.time_blocks(target_orients, repeats=repeats)
         if verbose:
             print(
                 f"autotune: o_block={cand.orient_block} pallas={cand.use_pallas} "

@@ -1,6 +1,7 @@
 """Checkpoint/resume, autotuner, and TimeStat tests."""
 
 import numpy as np
+import pytest
 
 from bioem_tpu.config import RunConfig
 from bioem_tpu.core.engine import BioEMEngine
@@ -85,6 +86,42 @@ def test_autotune_returns_runnable_config(rng):
     assert np.isfinite(res.log_prob).all()
 
 
+def test_autotune_on_mesh(rng):
+    """The autotuner times the shard_map'd scan itself on a mesh engine
+    (round-2 gap: mesh runs silently kept hand defaults). The winner must be
+    a candidate and must run on the sharded engine; the cache key must be
+    mesh-qualified so mesh and single-chip entries never cross."""
+    from bioem_tpu.parallel.mesh import ShardedBioEMEngine
+    from bioem_tpu.runtime.autotune import _cache_key
+
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    cfg = RunConfig(orient_block=1, autotune=True, mesh_images=2, mesh_orient=2)
+    cands = [
+        RunConfig(orient_block=1, mesh_images=2, mesh_orient=2),
+        RunConfig(orient_block=2, mesh_images=2, mesh_orient=2),
+    ]
+    best = autotune_config(
+        p, orients, model, images, cfg, candidates=cands, blocks=1, repeats=1
+    )
+    assert best in cands
+    assert "|M2x2" in _cache_key(p, orients.n, 4, cfg)
+    assert "|M" not in _cache_key(p, orients.n, 4, RunConfig())
+    eng = ShardedBioEMEngine(p, orients, model, images, best)
+    res = eng.results(eng.run())
+    assert np.isfinite(res.log_prob).all()
+
+    # The mesh result must agree with the single-chip run (the tuner only
+    # changes performance knobs, never results).
+    ref = BioEMEngine(p, orients, model, images, RunConfig(orient_block=1))
+    ref_res = ref.results(ref.run())
+    # Sharded merge order differs from the single-chip scan (collective
+    # LSE) — same tolerance as tests/test_sharding.py.
+    np.testing.assert_allclose(res.log_prob, ref_res.log_prob, rtol=0, atol=1e-5)
+
+
 def test_timestat_summary():
     ts = TimeStat()
     with ts.time("BLOCK"):
@@ -121,11 +158,24 @@ def test_maybe_autotune_threshold(rng, monkeypatch):
     # forced off beats the threshold
     run_mod.maybe_autotune(p, orients, model, images, RunConfig(autotune=False))
     assert len(calls) == 2
-    # multi-device: never tunes from the host loop
+    # multi-device single-process: tunes (the sharded engine times its own
+    # shard_map'd scan — round-3 change; round 2 skipped meshes entirely)
     run_mod.maybe_autotune(
         p, orients, model, images, RunConfig(autotune=True, mesh_orient=2)
     )
-    assert len(calls) == 2
+    assert len(calls) == 3
+    # multi-HOST: auto stays off (collective timing + per-host caches would
+    # deadlock); only an explicit autotune=True runs, with a warning.
+    monkeypatch.setattr(run_mod.jax, "process_count", lambda: 2)
+    run_mod.maybe_autotune(
+        p, orients, model, images, RunConfig(mesh_orient=2)
+    )
+    assert len(calls) == 3
+    with pytest.warns(RuntimeWarning, match="multi-host"):
+        run_mod.maybe_autotune(
+            p, orients, model, images, RunConfig(autotune=True, mesh_orient=2)
+        )
+    assert len(calls) == 4
 
 
 def test_autotune_cache_roundtrip(rng, tmp_path, monkeypatch):
