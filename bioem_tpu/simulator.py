@@ -123,24 +123,26 @@ def write_best_map(
     """
     res = synthesize_best_map(bp, model)
     n = bp.n_pixels
-    conv = res.conv_map
+    # Byte-format parity with the reference (bioem.cpp:2040-2083): values
+    # are computed in float32 (Mapconv is myfloat_t) and printed with C++
+    # ostream defaults — 6 significant digits, %g-style. Mapconv/norm²
+    # equals our normalised inverse transform.
+    norm = np.float32(bp.best_norm)
+    off = np.float32(bp.best_offset)
+    vals = res.conv_map.astype(np.float32) * norm + off
     noise = None
     if bp.with_noise:
         rng = rng or np.random.default_rng()
         noise = rng.normal(0.0, bp.noise_std, size=(n, n))
+        vals = (vals + noise).astype(np.float32)
     for k in range(n):
         for j in range(n):
-            v = conv[k, j] * bp.best_norm + bp.best_offset
-            if not bp.with_noise:
-                out.write(f"\nMAP {k + bp.ddx} {j + bp.ddy} {v:.4f}")
-                if k + bp.ddx < n and j + bp.ddy < n:
-                    ks, js = k - bp.ddx, j - bp.ddy
-                    # Reference indexes Mapconv[(k-ddx)·N + j-ddy] without a
-                    # lower-bound check (UB for negative); we wrap instead.
-                    v2 = conv[ks % n, js % n] * bp.best_norm + bp.best_offset
-                    out.write(f"\nMAPddx {k} {j} {v2:.4f}")
-            else:
-                out.write(f"\nMAP {k + bp.ddx} {j + bp.ddy} {v + noise[k, j]:.4f}")
+            out.write(f"\nMAP {k + bp.ddx} {j + bp.ddy} {vals[k, j]:.6g}")
+            if not bp.with_noise and k + bp.ddx < n and j + bp.ddy < n:
+                ks, js = k - bp.ddx, j - bp.ddy
+                # Reference indexes Mapconv[(k-ddx)·N + j-ddy] without a
+                # lower-bound check (UB for negative); we wrap instead.
+                out.write(f"\nMAPddx {k} {j} {vals[ks % n, js % n]:.6g}")
         out.write(" \n")
     return res
 

@@ -157,7 +157,8 @@ WRITE_PROB_ANGLES 3
 def run_case(binary: str, name: str, param_text: str, n_img: int,
              quat_list: bool = False, euler_list: bool = False,
              priors: bool = False, model_kind: str = "text",
-             maps_kind: str = "text") -> None:
+             maps_kind: str = "text", n_pix: int = 16,
+             n_list: int = 8) -> None:
     case_dir = os.path.join(OUT, name)
     os.makedirs(case_dir, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -176,13 +177,13 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
         maps_kind
     ]
     if maps_kind == "text":
-        write_maps(os.path.join(case_dir, maps_file), rng, n_img, 16)
+        write_maps(os.path.join(case_dir, maps_file), rng, n_img, n_pix)
     elif maps_kind == "mrc":
-        write_mrc_stack(os.path.join(case_dir, maps_file), rng, n_img, 16)
+        write_mrc_stack(os.path.join(case_dir, maps_file), rng, n_img, n_pix)
     else:
         n1 = max(1, n_img // 2)
-        write_mrc_stack(os.path.join(case_dir, "part1.mrc"), rng, n1, 16)
-        write_mrc_stack(os.path.join(case_dir, "part2.mrc"), rng, n_img - n1, 16)
+        write_mrc_stack(os.path.join(case_dir, "part1.mrc"), rng, n1, n_pix)
+        write_mrc_stack(os.path.join(case_dir, "part2.mrc"), rng, n_img - n1, n_pix)
         with open(os.path.join(case_dir, maps_file), "w") as f:
             f.write("part1.mrc\npart2.mrc\n")
 
@@ -203,12 +204,12 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
         args.append("--ReadMRC")
     elif maps_kind == "multimrc":
         args += ["--ReadMRC", "--ReadMultipleMRC"]
-    pvals = rng.uniform(0.5, 2.0, 8) if priors else None
+    pvals = rng.uniform(0.5, 2.0, n_list) if priors else None
     if quat_list:
-        write_quat_list(os.path.join(case_dir, "quat.txt"), rng, 8, priors=pvals)
+        write_quat_list(os.path.join(case_dir, "quat.txt"), rng, n_list, priors=pvals)
         args += ["--ReadOrientation", "quat.txt"]
     elif euler_list:
-        write_euler_list(os.path.join(case_dir, "euler.txt"), rng, 8, priors=pvals)
+        write_euler_list(os.path.join(case_dir, "euler.txt"), rng, n_list, priors=pvals)
         args += ["--ReadOrientation", "euler.txt"]
     env = dict(os.environ)
     env.pop("GPU", None)
@@ -288,6 +289,74 @@ DISPLACE_CENTER 2 2
 """
 
 
+CASE_K_PARAM = """\
+# golden case K: uniform quaternion-ball grid (GRIDPOINTS_QUATERNION)
+PIXEL_SIZE 1.5
+NUMBER_PIXELS 16
+USE_QUATERNIONS
+GRIDPOINTS_QUATERNION 3
+CTF_B_ENV 1.0 100.0 2
+CTF_DEFOCUS 0.5 1.5 2
+CTF_AMPLITUDE 0.1 0.1 1
+DISPLACE_CENTER 2 1
+WRITE_PROB_ANGLES 3
+"""
+
+CASE_L_PARAM = """\
+# golden case L: production pixel count (N=64), few orientations
+PIXEL_SIZE 1.5
+NUMBER_PIXELS 64
+CTF_B_ENV 1.0 100.0 2
+CTF_DEFOCUS 0.5 1.5 2
+CTF_AMPLITUDE 0.1 0.1 1
+DISPLACE_CENTER 4 2
+"""
+
+BESTMAP_PARAM = """\
+# golden case M: forward simulator BESTMAP (byte-compared)
+PIXEL_SIZE 1.5
+NUMBER_PIXELS 16
+BEST_ALPHA 0.4
+BEST_BETA 0.8
+BEST_GAMMA -0.3
+BEST_CTF_B_ENV 50.0
+BEST_CTF_DEFOCUS 1.2
+BEST_CTF_AMP 0.1
+BEST_DX 0
+BEST_DY 0
+BEST_NORM 1.5
+BEST_OFFSET 0.2
+"""
+
+
+def run_bestmap_case(binary: str, name: str) -> None:
+    """--PrintBestCalMap golden: the reference's BESTMAP bytes
+    (bioem.cpp:2040-2083; reference prints via ostream defaults = %.6g).
+    BEST_DX/DY = 0: any non-zero displacement makes the reference's MAPddx
+    branch read Mapconv out of bounds (bioem.cpp:2057-2065 has no lower
+    bound check) — those bytes are garbage, not behaviour to match."""
+    case_dir = os.path.join(OUT, name)
+    os.makedirs(case_dir, exist_ok=True)
+    rng = np.random.default_rng(42)
+    write_model(os.path.join(case_dir, "model.txt"), rng)
+    with open(os.path.join(case_dir, "best.txt"), "w") as f:
+        f.write(BESTMAP_PARAM)
+    env = dict(os.environ)
+    env.pop("GPU", None)
+    res = subprocess.run(
+        [binary, "--Modelfile", "model.txt", "--PrintBestCalMap", "best.txt"],
+        cwd=case_dir, env=env, capture_output=True, text=True,
+    )
+    if res.returncode != 0:
+        print(res.stdout[-3000:])
+        print(res.stderr[-3000:])
+        raise RuntimeError(f"reference bestmap run failed for {name}")
+    shutil.move(
+        os.path.join(case_dir, "BESTMAP"), os.path.join(case_dir, "BESTMAP.golden")
+    )
+    print(f"golden case {name}: OK")
+
+
 def main() -> int:
     binary = build_reference()
     run_case(binary, "case_a_euler_ctf", CASE_A_PARAM, 3)
@@ -301,6 +370,13 @@ def main() -> int:
              priors=True)
     run_case(binary, "case_i_shift_nonorm", CASE_I_PARAM, 3)
     run_case(binary, "case_j_psf_writectf", CASE_J_PARAM, 2)
+    run_case(binary, "case_k_quat_grid", CASE_K_PARAM, 2)
+    # N=64 through the naive-DFT shim is O(N⁴) per transform — 2 list
+    # orientations keep the reference run to seconds (the reference's own
+    # fast-sanity trick, BIOEM_DEBUG_BREAK, bioem.cpp:518-525).
+    run_case(binary, "case_l_n64", CASE_L_PARAM, 2, euler_list=True, n_pix=64,
+             n_list=2)
+    run_bestmap_case(binary, "case_m_bestmap")
     return 0
 
 
