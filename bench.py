@@ -203,17 +203,25 @@ def mxu_accounting(p, rate, cfg):
     return out
 
 
+# Golden cases exercised on the LIVE backend (the 70+-test suite pins CPU
+# only): CTF mode + Euler grid (a), PSF mode + quaternion list (b), and the
+# MRC particle-stack ingest path (c). Reference analogue: the doc's
+# cross-implementation consistency contract (doc/index.rst:1519-1533).
+ACCURACY_CASES = {
+    "case_a_euler_ctf": ("maps.txt", ()),
+    "case_b_quat_psf": ("maps.txt", ("--ReadOrientation", "quat.txt")),
+    "case_c_mrc_stack": ("maps.mrc", ("--ReadMRC",)),
+}
+
+
 def bench_accuracy():
-    """BASELINE.md accuracy metric: max |Δlog P| vs the reference binary's
-    golden output (tests/golden, produced by the compiled reference BioEM),
-    measured on the current backend. None if goldens are absent."""
+    """BASELINE.md accuracy metric: worst max |Δlog P| vs the reference
+    binary's golden outputs over ACCURACY_CASES, measured on the current
+    backend. None if goldens are absent."""
     import shutil
     import tempfile
 
     data = os.path.join(os.path.dirname(__file__), "tests", "golden", "data")
-    case = os.path.join(data, "case_a_euler_ctf")
-    if not os.path.isdir(case):
-        return None
     import re
 
     import numpy as np
@@ -228,24 +236,32 @@ def bench_accuracy():
                 vals[int(m.group(1))] = float(m.group(2))
         return np.array([vals[i] for i in range(len(vals))])
 
-    with tempfile.TemporaryDirectory() as td:
-        work = os.path.join(td, "case")
-        shutil.copytree(case, work)
-        old = os.getcwd()
-        os.chdir(work)
-        try:
-            cli_main([
-                "--Modelfile", "model.txt", "--Particlesfile", "maps.txt",
-                "--Inputfile", "param.txt",
-                "--OutputFile", "Output_Probabilities.tpu",
-            ])
-            with open("Output_Probabilities.tpu") as f:
-                ours = parse(f.read())
-            with open("Output_Probabilities.golden") as f:
-                golden = parse(f.read())
-        finally:
-            os.chdir(old)
-    return float(np.max(np.abs(ours - golden)))
+    worst = None
+    for case, (maps_file, extra) in ACCURACY_CASES.items():
+        src = os.path.join(data, case)
+        if not os.path.isdir(src):
+            continue
+        with tempfile.TemporaryDirectory() as td:
+            work = os.path.join(td, "case")
+            shutil.copytree(src, work)
+            old = os.getcwd()
+            os.chdir(work)
+            try:
+                cli_main([
+                    "--Modelfile", "model.txt", "--Particlesfile", maps_file,
+                    "--Inputfile", "param.txt",
+                    "--OutputFile", "Output_Probabilities.tpu",
+                    *extra,
+                ])
+                with open("Output_Probabilities.tpu") as f:
+                    ours = parse(f.read())
+                with open("Output_Probabilities.golden") as f:
+                    golden = parse(f.read())
+            finally:
+                os.chdir(old)
+        delta = float(np.max(np.abs(ours - golden)))
+        worst = delta if worst is None else max(worst, delta)
+    return worst
 
 
 def main():
@@ -278,9 +294,11 @@ def main():
         # the reference algorithm scaled by host core count, NOT the
         # reference's own published cluster scaling.
         "baseline_kind": "numpy-proxy×cores",
-        # max |Δlog P| vs the compiled reference binary's golden
-        # output (tests/golden case A) on this backend.
+        # worst max |Δlog P| vs the compiled reference binary's golden
+        # outputs (CTF+Euler, PSF+quaternions, MRC stack — ACCURACY_CASES)
+        # on this backend.
         "max_abs_dlogp_vs_reference": max_dlogp,
+        "accuracy_cases": len(ACCURACY_CASES),
     }
     rec.update(mxu_accounting(p, tpu_rate, RunConfig.from_env()))
     print(json.dumps(rec))
