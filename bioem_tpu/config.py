@@ -46,7 +46,8 @@ class RunConfig:
     pallas_img_tile: int = 32
     # Fuse the displacement log-sum-exp into the Pallas kernel (True) or
     # run it as a batched XLA reduction over the kernel's cc output
-    # (False). None = auto (measured per-backend default).
+    # (False). None = auto: True on TPU (vectorized in-kernel LSE, 1.22×
+    # the hybrid on v5e — see ops/compare_pallas._vector_lse).
     fused_lse: Optional[bool] = None
     # Checkpoint/resume of the streaming accumulator state (improves on the
     # reference, which restarts long runs from scratch on failure).

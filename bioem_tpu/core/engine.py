@@ -160,12 +160,18 @@ class BioEMEngine:
         )
         # In-kernel displacement LSE vs XLA reduction over the kernel's cc
         # output — both keep the cross-spectra in VMEM; see _block_step.
-        # Default False: XLA batches the log1p/exp reduction over the whole
-        # (O·C, I, D²) lattice at full VPU lane occupancy, measured 1.5×
-        # the in-kernel per-image variant on v5e (bench.py, N=224 D=21; the
-        # cc lattice is tiny — 441 f32/comparison — so its HBM round-trip
-        # costs less than the serialized in-kernel transcendentals).
-        self.fused_lse = cfg.fused_lse if cfg.fused_lse is not None else False
+        # Default True on TPU since round 3: the LSE is vectorized over the
+        # whole image tile (ops/compare_pallas._vector_lse — displacements
+        # on lanes, lane-shift reduction trees), measured 4.49 M vs the
+        # hybrid's 3.68 M cmp/s on v5e at N=224 D=21 (round 2's per-image
+        # scalar in-kernel LSE lost to XLA at 14% lane fill; XLA cannot fix
+        # its own fill because it re-fuses the flattening reshape back into
+        # the (21, 21)-tiled reduce).
+        self.fused_lse = (
+            cfg.fused_lse
+            if cfg.fused_lse is not None
+            else jax.default_backend() == "tpu"
+        )
 
         # Debug reductions (reference bioem.cpp:518-525, map.cpp:545-548)
         grid = make_ctf_grid(p)
@@ -484,7 +490,8 @@ class BioEMEngine:
             )
             prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
             f0, k = logpro_constants(
-                sum_c, ssq_c, banks.sum_ref, banks.ssq_ref, prior_oc, ntot
+                sum_c, ssq_c, banks.sum_ref, banks.ssq_ref, prior_oc, ntot,
+                images_normalized=not p.no_map_norm,
             )
             # Stride-fold: displacements are multiples of the lattice stride
             # s, so when s | N the wx weights have period N/s and the kernel
@@ -555,7 +562,10 @@ class BioEMEngine:
 
         def per_img_block(args):
             img_re_b, img_im_b, sref_b, ssref_b = args
-            f0, k = logpro_constants(sum_c, ssq_c, sref_b, ssref_b, prior_oc, ntot)
+            f0, k = logpro_constants(
+                sum_c, ssq_c, sref_b, ssref_b, prior_oc, ntot,
+                images_normalized=not p.no_map_norm,
+            )
             cc = displacement_cc(
                 conv_re, conv_im, img_re_b, img_im_b,
                 banks.wx_re, banks.wx_im, banks.wy_re, banks.wy_im,

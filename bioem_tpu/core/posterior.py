@@ -135,8 +135,21 @@ def logpro_constants(
     ssq_ref: jnp.ndarray,  # (I,) f32
     prior: jnp.ndarray,  # (O, C) f64
     ntot: float,
+    images_normalized: bool = False,
 ):
-    """F0 and K of the split-precision decomposition. Returns f64 (O, C, I)."""
+    """F0 and K of the split-precision decomposition. Returns f64 (O, C, I).
+
+    log(F0) — the only f64 transcendental on a per-(o,c,i) array — is
+    decomposed so the emulated f64 logs run on (I,) and (O,C) arrays only:
+
+        F0 = ssr·ssc·(g − h),  g = ntot − sc²/ssc,  h = sr²/ssr
+        log F0 = log ssr + log ssc + log g + log1p(−h/g)
+
+    With ``images_normalized`` (the default ingest path: per-image mean
+    removed, map.cpp:830-845) sr ≈ 0, so h/g ≲ 1e-7 and the per-(o,c,i)
+    log1p correction is exact in f32 (absolute error ≤ eps·|h/g| ≪ the
+    4e-8 needed for 1e-3-accurate a_coef·log F0 at N=224). NO_MAP_NORM
+    images keep the correction in f64 — a static, trace-time choice."""
     sc = sum_c.astype(F64)[:, :, None]
     ssc = ssq_c.astype(F64)[:, :, None]
     sr = sum_ref.astype(F64)[None, None, :]
@@ -144,9 +157,19 @@ def logpro_constants(
     ntot = jnp.float64(ntot)
     a_coef = (3.0 - ntot) * 0.5
     forlog = ssc * ntot - sc * sc
-    f0 = ntot * ssr * ssc - ssr * sc * sc - sr * sr * ssc
+    g = forlog / ssc  # (O, C, 1)
+    h = sr * sr / ssr  # (1, 1, I)
+    f0 = ssr * ssc * (g - h)
+    ratio = h / g  # (O, C, I) — muls only, no per-(o,c,i) transcendental
+    if images_normalized:
+        corr = jnp.log1p(-(ratio.astype(F32))).astype(F64)
+    else:
+        corr = jnp.log1p(-ratio)
+    log_f0 = (
+        jnp.log(ssr) + jnp.log(ssc) + jnp.log(g) + corr
+    )
     k = (
-        a_coef * jnp.log(f0)
+        a_coef * log_f0
         + (ntot * 0.5 - 2.0) * jnp.log((ntot - 2.0) * forlog)
         - prior[:, :, None]
     )
@@ -206,18 +229,20 @@ def displacement_lse(
     o, c, i, d1, d2 = cc.shape
     ntot_f = jnp.float32(ntot)
     a_coef = jnp.float32((3.0 - ntot) * 0.5)
-    sc = sum_c[:, :, None, None, None]
-    sr = sum_ref[None, None, :, None, None]
-    f0_32 = f0.astype(F32)[:, :, :, None, None]
-    u = (2.0 * sr * sc * cc - ntot_f * cc * cc) / f0_32
-    v = a_coef * jnp.log1p(u)  # (O,C,I,D,D)
-    v_flat = v.reshape(o, c, i, d1 * d2)
+    # Flatten the displacement lattice BEFORE the transcendentals: on a
+    # (…, D, D) array the TPU pads the (21, 21) minor tile to (24, 128) —
+    # log1p/exp at 14% lane fill. Flat (…, D²=441) pads to 512 → 86% fill;
+    # measured round 3, this was most of the "XLA displacement-LSE" phase.
+    cc_flat = cc.reshape(o, c, i, d1 * d2)
+    sc = sum_c[:, :, None, None]
+    sr = sum_ref[None, None, :, None]
+    f0_32 = f0.astype(F32)[:, :, :, None]
+    u = (2.0 * sr * sc * cc_flat - ntot_f * cc_flat * cc_flat) / f0_32
+    v_flat = a_coef * jnp.log1p(u)  # (O,C,I,D²)
     m = jnp.max(v_flat, axis=-1)
     d_star = jnp.argmax(v_flat, axis=-1).astype(I32)
     sumexp = jnp.sum(jnp.exp(v_flat - m[..., None]), axis=-1)
-    cc_star = jnp.take_along_axis(
-        cc.reshape(o, c, i, d1 * d2), d_star[..., None], axis=-1
-    )[..., 0]
+    cc_star = jnp.take_along_axis(cc_flat, d_star[..., None], axis=-1)[..., 0]
     return m, sumexp, d_star, cc_star
 
 
