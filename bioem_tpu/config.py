@@ -58,6 +58,10 @@ class RunConfig:
     # Projection backend: "auto" (Fourier when the model has <= 32 distinct
     # radii, else raster), "fourier", or "raster".
     projection: str = "auto"
+    # Run the Fourier projection through the Pallas kernel (in-kernel phase
+    # tables + 3-pass bf16 group dots, ops/project_pallas.py). None = auto:
+    # follows use_pallas (on for TPU). BIOEM_TPU_PROJ_PALLAS=0/1 forces.
+    pallas_projection: Optional[bool] = None
     # Tuned fields the user pinned explicitly (env var or caller): the
     # autotuner must never override these — a cached winner re-enabling a
     # kernel the user force-disabled would violate the reference's contract
@@ -94,6 +98,9 @@ class RunConfig:
         if os.environ.get("BIOEM_TPU_PALLAS"):
             cfg.use_pallas = bool(int(os.environ["BIOEM_TPU_PALLAS"]))
             forced.add("use_pallas")
+        if os.environ.get("BIOEM_TPU_PROJ_PALLAS"):
+            cfg.pallas_projection = bool(int(os.environ["BIOEM_TPU_PROJ_PALLAS"]))
+            forced.add("pallas_projection")
         if os.environ.get("BIOEM_TPU_FUSED_LSE"):
             cfg.fused_lse = bool(int(os.environ["BIOEM_TPU_FUSED_LSE"]))
             forced.add("fused_lse")

@@ -59,6 +59,7 @@ from .projection import (
     make_projection_spec,
     project_batch,
     project_fourier_batch,
+    project_fourier_batch_pallas,
     projection_always_in_bounds,
     projection_oob_report,
 )
@@ -171,6 +172,13 @@ class BioEMEngine:
             cfg.fused_lse
             if cfg.fused_lse is not None
             else jax.default_backend() == "tpu"
+        )
+        # Pallas Fourier-projection kernel (phase tables + bf16 group dots)
+        # — follows the comparison-kernel choice by default.
+        self.pallas_projection = (
+            cfg.pallas_projection
+            if cfg.pallas_projection is not None
+            else self.use_pallas
         )
 
         # Debug reductions (reference bioem.cpp:518-525, map.cpp:545-548)
@@ -451,7 +459,12 @@ class BioEMEngine:
 
         rotm = rotation_matrices(angles, self.orients.use_quaternions)
         if self.fspec is not None:
-            pr, pi = project_fourier_batch(
+            proj_fn = (
+                project_fourier_batch_pallas
+                if self.pallas_projection
+                else project_fourier_batch
+            )
+            pr, pi = proj_fn(
                 self.fspec, rotm, banks.points, banks.radii, banks.dens,
                 banks.norm_den, banks.st_re, banks.st_im, banks.st_sums,
             )

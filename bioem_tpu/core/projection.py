@@ -291,18 +291,13 @@ def make_fourier_projection_spec(
     return spec, gather_idx, pad_mask, np.stack(dfts), sums
 
 
-def project_fourier_one(
-    fspec: FourierProjectionSpec,
-    rotmat: jnp.ndarray,  # (3, 3)
-    points: jnp.ndarray,  # (P, 3) radius-sorted
-    radii: jnp.ndarray,  # (P,) radius-sorted
-    densities: jnp.ndarray,  # (P,) radius-sorted
-    norm_den: jnp.ndarray,
-    st_re: jnp.ndarray,  # (U, N, F) stencil DFT table
-    st_im: jnp.ndarray,
-    st_sums: jnp.ndarray,  # (U,) per-group unit-stencil sums (tempden)
+def fourier_prologue(
+    fspec: FourierProjectionSpec, rotmat, points, radii, densities
 ):
-    """rfft2 of the projection, split (re, im) float32 (N, F) pair."""
+    """Rotation + pixel snap + validity masking shared by the XLA and
+    Pallas Fourier-projection backends. Returns (θx, θy, dens_eff), each
+    (P,): phase increments −2π·i0/N, −2π·j0/N and the bounds-masked
+    densities (reference bioem.cpp:1715-1803 semantics)."""
     n = fspec.n_pixels
     pix = jnp.float32(fspec.pixel_size)
     rot = points @ rotmat.T
@@ -319,12 +314,32 @@ def project_fourier_one(
     dens_eff = jnp.where(
         jnp.where(small, valid_small, valid_large), densities, 0.0
     )
+    two_pi_n = jnp.float32(2.0 * math.pi / n)
+    theta_x = -two_pi_n * i0.astype(jnp.float32)
+    theta_y = -two_pi_n * j0.astype(jnp.float32)
+    return theta_x, theta_y, dens_eff
 
+
+def project_fourier_one(
+    fspec: FourierProjectionSpec,
+    rotmat: jnp.ndarray,  # (3, 3)
+    points: jnp.ndarray,  # (P, 3) radius-sorted
+    radii: jnp.ndarray,  # (P,) radius-sorted
+    densities: jnp.ndarray,  # (P,) radius-sorted
+    norm_den: jnp.ndarray,
+    st_re: jnp.ndarray,  # (U, N, F) stencil DFT table
+    st_im: jnp.ndarray,
+    st_sums: jnp.ndarray,  # (U,) per-group unit-stencil sums (tempden)
+):
+    """rfft2 of the projection, split (re, im) float32 (N, F) pair."""
+    n = fspec.n_pixels
+    theta_x, theta_y, dens_eff = fourier_prologue(
+        fspec, rotmat, points, radii, densities
+    )
     k1 = jnp.arange(n, dtype=jnp.float32)
     k2 = jnp.arange(n // 2 + 1, dtype=jnp.float32)
-    two_pi_n = jnp.float32(2.0 * math.pi / n)
-    ax = -two_pi_n * i0.astype(jnp.float32)[:, None] * k1[None, :]  # (P, N)
-    ay = -two_pi_n * j0.astype(jnp.float32)[:, None] * k2[None, :]  # (P, F)
+    ax = theta_x[:, None] * k1[None, :]  # (P, N)
+    ay = theta_y[:, None] * k2[None, :]  # (P, F)
     # Fold density into the row phases.
     ex_re = jnp.cos(ax) * dens_eff[:, None]
     ex_im = jnp.sin(ax) * dens_eff[:, None]
@@ -363,6 +378,36 @@ def project_fourier_batch(
             fspec, rm, points, radii, densities, norm_den, st_re, st_im, st_sums
         )
     )(rotmats)
+
+
+def project_fourier_batch_pallas(
+    fspec, rotmats, points, radii, densities, norm_den, st_re, st_im, st_sums,
+    interpret=None,
+):
+    """Same contract as project_fourier_batch via the Pallas kernel
+    (ops/project_pallas.py): in-kernel phase tables (2 transcendentals per
+    point instead of 2·(N+F)), 3-pass bf16 group contraction, stencil bank
+    streamed once per block, per-group spectra never leaving VMEM."""
+    from ..ops.project_pallas import fourier_project_block
+
+    g, pp = fspec.n_groups, fspec.group_pad
+    n = fspec.n_pixels
+    thx, thy, de = jax.vmap(
+        lambda rm: fourier_prologue(fspec, rm, points, radii, densities)
+    )(rotmats)  # each (O, G·Pp)
+    o_n = rotmats.shape[0]
+
+    def regroup(x):  # (O, G·Pp) → (G, O, Pp)
+        return jnp.transpose(x.reshape(o_n, g, pp), (1, 0, 2))
+
+    pr, pi = fourier_project_block(
+        regroup(thx), regroup(thy), regroup(de), st_re, st_im,
+        n=n, interpret=interpret,
+    )
+    group_dens = jnp.sum(de.reshape(o_n, g, pp), axis=2)  # (O, G)
+    tempden = group_dens @ st_sums.astype(jnp.float32)  # (O,)
+    scale = (norm_den / tempden)[:, None, None]
+    return pr * scale, pi * scale
 
 
 # ---------------------------------------------------------------------------

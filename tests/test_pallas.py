@@ -105,7 +105,8 @@ def test_engine_pallas_fold_matches_xla(rng):
     eng_ref = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
     eng_pl = BioEMEngine(
         p, orients, model, images,
-        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2),
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2,
+                  pallas_projection=False),
     )
     r_ref = eng_ref.results(eng_ref.run())
     r_pl = eng_pl.results(eng_pl.run())
@@ -124,7 +125,8 @@ def test_engine_pallas_matches_xla(rng):
     eng_ref = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
     eng_pl = BioEMEngine(
         p, orients, model, images,
-        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=3),
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=3,
+                  pallas_projection=False),
     )
     r_ref = eng_ref.results(eng_ref.run())
     r_pl = eng_pl.results(eng_pl.run())
@@ -146,7 +148,8 @@ def test_engine_pallas_write_angles(rng):
     e_x = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2, use_pallas=False))
     e_p = BioEMEngine(
         p, orients, model, images,
-        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2),
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2,
+                  pallas_projection=False),
     )
     r_x = e_x.results(e_x.run())
     r_p = e_p.results(e_p.run())
@@ -165,7 +168,7 @@ def test_engine_fused_lse_matches_xla(rng):
     eng_fl = BioEMEngine(
         p, orients, model, images,
         RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2,
-                  fused_lse=True),
+                  fused_lse=True, pallas_projection=False),
     )
     r_ref = eng_ref.results(eng_ref.run())
     r_fl = eng_fl.results(eng_fl.run())
