@@ -387,6 +387,15 @@ def fused_compare_block(
     n_it = n_img // img_tile
     dp = _cdiv(d, 8) * 8
     lanes = img_tile * dp
+    if not interpret and n_it > 1 and lanes % 128:
+        # Mosaic requires the last block dim to be 128-divisible or equal
+        # to the array dim (n_img·dp); tile 8 at dp=24 gives 192 lanes and
+        # fails lowering with an opaque BlockSpec error — reject up front.
+        raise ValueError(
+            f"fused_lse: img_tile {img_tile} gives {lanes} lanes per block "
+            f"(img_tile × dp={dp}), which is neither a multiple of 128 nor "
+            f"the whole image bank; use a tile with img_tile*{dp} % 128 == 0"
+        )
 
     # Grid: images outer, (o, c) inner — the image tile stays resident in
     # VMEM across the whole (o, c) sweep; the ctf block is revolver-fetched

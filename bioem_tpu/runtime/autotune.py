@@ -116,26 +116,31 @@ def default_candidates(cfg: RunConfig, p=None, n_img: int = 0) -> List[RunConfig
             if p is not None:
                 per_img = p.n_pixels * p.n_fft_1d * 2 * 4  # split-f32 spectrum
                 tiles = [t for t in tiles if t * per_img * 2 <= VMEM_BUDGET]
-            tiles = tiles[-3:]  # the largest feasible tiles dominate
+            tiles = tiles[-2:]  # the largest feasible tiles dominate
         lse_variants = (
             (cfg.fused_lse,) if "fused_lse" in forced else (False, True)
         )
-        for fused_lse in lse_variants:
-            for t in tiles:
-                cands.append(
-                    replace(
-                        cfg, autotune=False, use_pallas=True,
-                        pallas_img_tile=t, fused_lse=fused_lse,
-                    )
-                )
-        if "orient_block" not in forced:
-            for o_block in (4, 16):
-                if o_block != cfg.orient_block:
+        o_blocks = (
+            (cfg.orient_block,)
+            if "orient_block" in forced
+            else tuple(dict.fromkeys((cfg.orient_block, 16)))
+        )
+        # Full (orient_block × lse × tile) cross: the r3 tuner missed the
+        # measured-best (fused, tile 64, o_block 16) because orient-block
+        # variants pinned fused_lse=False.
+        # Mosaic lane rule: a fused-LSE block's lane count (tile · dp) must
+        # be 128-divisible unless the tile covers the whole image bank.
+        dp = (-(-p.nx_disp // 8) * 8) if p is not None else 8
+        for o_block in o_blocks:
+            for fused_lse in lse_variants:
+                for t in tiles:
+                    if fused_lse and t != n_img and (t * dp) % 128:
+                        continue
                     cands.append(
                         replace(
                             cfg, autotune=False, use_pallas=True,
                             orient_block=o_block,
-                            fused_lse=cfg.fused_lse if "fused_lse" in forced else False,
+                            pallas_img_tile=t, fused_lse=fused_lse,
                         )
                     )
     else:

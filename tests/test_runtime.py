@@ -294,3 +294,28 @@ def test_autotune_debug_caps_shape_key(rng, tmp_path, monkeypatch):
     data = json.loads((tmp_path / "t.json").read_text())
     assert full not in data
     assert any("|I2|" in k for k in data)
+
+
+def test_default_candidates_cross_product_and_lane_rule():
+    """r3 regression: the tuner must try (orient_block x fused x tile)
+    jointly (the measured-best fused/tile-64/o16 combo was unreachable when
+    orient-block variants pinned fused_lse=False), and must never emit a
+    fused candidate whose lane count (tile x dp) violates Mosaic's
+    128-divisibility rule (tile 8 at dp=24 crashes lowering on real TPU)."""
+    from bioem_tpu.runtime.autotune import default_candidates
+
+    p = tiny_params(n_pixels=32, max_displace_center=10)  # D=21 -> dp=24
+    cfg = RunConfig(orient_block=8, use_pallas=True)
+    cands = default_candidates(cfg, p=p, n_img=64)
+    combos = {(c.orient_block, c.fused_lse, c.pallas_img_tile) for c in cands}
+    assert (16, True, 64) in combos
+    assert (8, True, 64) in combos
+    assert (16, False, 32) in combos
+
+    # n_img=16: feasible tiles are (8, 16); fused tile 8 gives 192 lanes
+    # (invalid), fused tile 16 covers the whole bank (valid).
+    cands16 = default_candidates(cfg, p=p, n_img=16)
+    combos16 = {(c.fused_lse, c.pallas_img_tile) for c in cands16}
+    assert (True, 8) not in combos16
+    assert (True, 16) in combos16
+    assert (False, 8) in combos16

@@ -7,7 +7,7 @@ and records them in BENCH_COMPILE.json, so the tile choice can account for
 compile amortisation (the reference's kernels are compile-free at runtime;
 ours pay once per shape, cached across processes by the JAX compile cache).
 
-Usage: python tools/compile_bench.py [tile ...]   (default: 8 16 32 64)
+Usage: python tools/compile_bench.py [tile ...]   (default: 16 32 64)
 """
 
 import json
@@ -21,7 +21,7 @@ import numpy as np
 
 
 def main():
-    tiles = [int(a) for a in sys.argv[1:]] or [8, 16, 32, 64]
+    tiles = [int(a) for a in sys.argv[1:]] or [16, 32, 64]
     if os.environ.get("BIOEM_TPU_FORCE_CPU"):
         import jax
 
