@@ -161,7 +161,7 @@ def autotune_config(
     images,
     cfg: RunConfig,
     candidates: Optional[Sequence[RunConfig]] = None,
-    blocks: int = 3,
+    blocks: Optional[int] = None,
     repeats: int = 2,
     verbose: bool = False,
 ) -> RunConfig:
@@ -209,7 +209,17 @@ def autotune_config(
         # amortises identically across different block sizes. time_blocks
         # times the jitted SCAN (the production run path; the sharded
         # engine times its shard_map'd scan) — see BioEMEngine.time_blocks.
-        target_orients = blocks * max(cfg.orient_block, 1)
+        # Default probe span: ~1024 orientations. The axon-tunnel dispatch
+        # costs ~50 ms regardless of span; a 24-orientation probe puts the
+        # ~10% candidate differences an order of magnitude below dispatch
+        # jitter and tunes at random among close candidates (measured r3:
+        # the fused/hybrid 5.1 vs 4.5 M cmp/s gap was invisible at 3 ms of
+        # device work per probe).
+        target_orients = (
+            blocks * max(cfg.orient_block, 1)
+            if blocks is not None
+            else min(1024, n_orient)
+        )
         t_cand = eng.time_blocks(target_orients, repeats=repeats)
         if verbose:
             print(
