@@ -110,12 +110,112 @@ def probe_issue_overhead(interpret):
     print(f"P2 issue-overhead ratio loop/batched: {t_loop/t_batch:.2f}x")
 
 
+# ---------------------------------------------------------------------------
+# P3: ablation timing of the production per-cell body
+# ---------------------------------------------------------------------------
+
+def probe_body_ablation(interpret):
+    """Times the fused kernel's per-(o,c) cell body at production shape
+    (N=224, D=21, 64-image tile) with pieces ablated, attributing the gap
+    between the measured ~174 ns/cmp and the ~48 ns MXU floor:
+
+    * full      — product + fold + splits + matmuls + scratch + transpose + LSE
+    * no_lse    — stop after the scratch writes (no transpose/LSE)
+    * mm_only   — pre-split bf16 operands fed straight to the 5 dots
+                  (no product/fold/split VPU work)
+    """
+    from bioem_tpu.ops.compare_pallas import (
+        _cc_tile_stacked, _stacked_weight_banks, _vector_lse,
+    )
+
+    n, f, d, s = 224, 113, 21, 2
+    m = n // s
+    dp = 24
+    it = 64
+    lanes = it * dp
+    rng = np.random.default_rng(2)
+
+    def arr(*shape):
+        return jnp.asarray(rng.normal(0, 1, shape).astype(np.float32))
+
+    cr, ci = arr(n, f), arr(n, f)
+    img_re, img_im = arr(it, n, f), arr(it, n, f)
+    img_bf = (arr(it, m, f) / 8).astype(jnp.bfloat16)
+    wx_re, wx_im = arr(d, m), arr(d, m)
+    wy_re, wy_im = arr(d, f), arr(d, f)
+    a96, w2 = _stacked_weight_banks(wx_re, wx_im, wy_re, wy_im, d, dp)
+    au = jnp.abs(arr(1, lanes)) * 1e-6
+    bu = jnp.abs(arr(1, lanes)) * 1e-9
+    pos = jnp.asarray((np.arange(lanes, dtype=np.int32) % dp).reshape(1, lanes))
+
+    def body(variant):
+        def kern(cr_ref, ci_ref, ir_ref, ii_ref, ibf_ref, a96_ref, w2_ref,
+                 au_ref, bu_ref, pos_ref, out_ref, cc_scr):
+            crv, civ = cr_ref[:, :], ci_ref[:, :]
+            a96v = a96_ref[:, :]
+            dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+            for i in range(it):
+                if variant == "mm_only":
+                    x = ibf_ref[i]  # (m, f) bf16, pre-split stand-in
+                    th = dot(a96v, x)            # (4dp, f)
+                    tl = dot(a96v[0:2 * dp], x)  # (2dp, f)
+                    t1 = th[0:dp] + th[2 * dp:3 * dp] + tl[0:dp]
+                    t2 = jnp.concatenate(
+                        [t1.astype(jnp.bfloat16)] * 4, axis=0)  # (4dp, f)
+                    o2 = dot(t2, w2_ref[:, :])   # (4dp, 4dp)
+                    cc = o2[0:d, 0:d] + o2[dp:dp + d, dp:dp + d]
+                else:
+                    cc = _cc_tile_stacked(
+                        crv, civ, ir_ref[i], ii_ref[i], a96v,
+                        a96v[0:2 * dp], w2_ref[:, :], s, d, dp)
+                cc_scr[i * dp:(i + 1) * dp, 0:dp] = jnp.pad(
+                    cc, ((0, dp - d), (0, dp - d)))
+            if variant == "full":
+                cc_t = jnp.transpose(cc_scr[:, :], (1, 0))
+                mx, se, ds, ccs = _vector_lse(
+                    cc_t, pos_ref[:, :], au_ref[:, :], bu_ref[:, :],
+                    -3.0, d, dp, it)
+                out_ref[0:1, :] = mx + se
+            else:
+                out_ref[0:1, :] = (
+                    jnp.zeros((1, lanes), jnp.float32) + jnp.sum(cc_scr[:, :])
+                )
+        return kern
+
+    for variant in ("full", "no_lse", "mm_only"):
+        f_call = pl.pallas_call(
+            body(variant),
+            out_shape=jax.ShapeDtypeStruct((1, lanes), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((it * dp, dp), jnp.float32)],
+            interpret=interpret,
+        )
+        args = (cr, ci, img_re, img_im, img_bf, a96, w2, au, bu, pos)
+        try:
+            o = f_call(*args)
+            np.asarray(o)
+        except Exception as e:
+            print(f"P3 {variant}: FAILED {type(e).__name__}: {str(e)[:160]}")
+            continue
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            o = f_call(*args)
+        jax.block_until_ready(o)
+        np.asarray(o).ravel()[:1]
+        dt = (time.perf_counter() - t0) / iters
+        print(f"P3 {variant}: {dt*1e6:.1f} us/cell "
+              f"({dt/it*1e9:.0f} ns per image-comparison)", flush=True)
+
+
 def main():
     interpret = jax.default_backend() != "tpu"
     print("backend:", jax.default_backend(), "interpret:", interpret)
     probe_f32_accuracy(interpret)
     probe_issue_overhead(interpret)
+    probe_body_ablation(interpret)
 
 
 if __name__ == "__main__":
     main()
+
+
