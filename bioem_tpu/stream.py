@@ -190,6 +190,9 @@ def run_streaming(
     completed earlier chunk is loaded, never recomputed, and never
     mistaken for a later chunk's result.
     """
+    import time
+    from concurrent.futures import ThreadPoolExecutor
+
     from .run import make_engine
 
     cfg = cfg or RunConfig()
@@ -198,35 +201,53 @@ def run_streaming(
     eng: Optional[BioEMEngine] = None
     parts: list[Results] = []
     perf = {"run_s": 0.0, "comparisons": 0, "chunks": 0}
-    import time
+    spans = [
+        (s, min(s + chunk_images, n_total))
+        for s in range(0, n_total, chunk_images)
+    ]
 
-    for ci, start in enumerate(range(0, n_total, chunk_images)):
-        stop = min(start + chunk_images, n_total)
-        if eng is None:
-            # First chunk is read fully on every process: engine
-            # construction hashes images[:1] into the checkpoint
-            # fingerprint, which must be process-independent.
-            maps = source.chunk(start, stop)
-            eng = make_engine(p, orients, model, ImageStack(maps), cfg)
-            banks = eng.banks
-        else:
-            maps = _read_chunk_local(source, start, stop, eng)
-            banks = eng.swap_images(maps)
-        ckpt = f"{cfg.checkpoint_path}.chunk{ci}" if cfg.checkpoint_path else None
-        t0 = time.perf_counter()
-        state = eng.run(
-            banks=banks,
-            bank_tag=f"images[{start}:{stop}]",
-            checkpoint_path=ckpt,
-        )
-        parts.append(eng.results(state, n_img=stop - start))
-        dt = time.perf_counter() - t0
-        perf["run_s"] += dt
-        perf["comparisons"] += (stop - start) * eng.n_orient * eng.n_ctf
-        perf["chunks"] += 1
-        if progress:
-            print(
-                f"chunk {perf['chunks']}: images [{start}, {stop}) in {dt:.2f}s "
-                f"({(stop - start) * eng.n_orient * eng.n_ctf / dt:.3e} cmp/s)"
+    # One-chunk-ahead prefetch: the host-side read + normalisation of chunk
+    # k+1 overlaps chunk k's device scan (the reference overlaps H2D with
+    # compute the same way via its async pipeline, bioem_cuda.cu:527-566).
+    # The ingest sources are thread-safe (MRCStackSource opens its own
+    # handle per read; ArraySource slices an in-RAM array).
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        pending = None
+        for ci, (start, stop) in enumerate(spans):
+            if eng is None:
+                # First chunk is read fully on every process: engine
+                # construction hashes images[:1] into the checkpoint
+                # fingerprint, which must be process-independent.
+                maps = source.chunk(start, stop)
+                eng = make_engine(p, orients, model, ImageStack(maps), cfg)
+                banks = eng.banks
+            else:
+                maps = pending.result() if pending is not None else (
+                    _read_chunk_local(source, start, stop, eng)
+                )
+                banks = eng.swap_images(maps)
+            pending = (
+                pool.submit(_read_chunk_local, source, *spans[ci + 1], eng)
+                if ci + 1 < len(spans)
+                else None
             )
+            ckpt = (
+                f"{cfg.checkpoint_path}.chunk{ci}" if cfg.checkpoint_path else None
+            )
+            t0 = time.perf_counter()
+            state = eng.run(
+                banks=banks,
+                bank_tag=f"images[{start}:{stop}]",
+                checkpoint_path=ckpt,
+            )
+            parts.append(eng.results(state, n_img=stop - start))
+            dt = time.perf_counter() - t0
+            perf["run_s"] += dt
+            perf["comparisons"] += (stop - start) * eng.n_orient * eng.n_ctf
+            perf["chunks"] += 1
+            if progress:
+                print(
+                    f"chunk {perf['chunks']}: images [{start}, {stop}) in {dt:.2f}s "
+                    f"({(stop - start) * eng.n_orient * eng.n_ctf / dt:.3e} cmp/s)"
+                )
     return _concat_results(parts), perf
