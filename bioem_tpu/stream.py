@@ -206,11 +206,16 @@ def run_streaming(
         for s in range(0, n_total, chunk_images)
     ]
 
-    # One-chunk-ahead prefetch: the host-side read + normalisation of chunk
-    # k+1 overlaps chunk k's device scan (the reference overlaps H2D with
-    # compute the same way via its async pipeline, bioem_cuda.cu:527-566).
-    # The ingest sources are thread-safe (MRCStackSource opens its own
-    # handle per read; ArraySource slices an in-RAM array).
+    # One-chunk-ahead prefetch: the host-side read + normalisation + FFT
+    # precompute (_image_arrays) of chunk k+1 overlaps chunk k's device
+    # scan (the reference overlaps H2D with compute the same way via its
+    # async pipeline, bioem_cuda.cu:527-566); only device placement stays
+    # on the main thread. The ingest sources are thread-safe
+    # (MRCStackSource opens its own handle per read; ArraySource slices an
+    # in-RAM array), and _image_arrays only reads engine constants.
+    def _prepare(start: int, stop: int):
+        return eng._image_arrays(_read_chunk_local(source, start, stop, eng))
+
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = None
         for ci, (start, stop) in enumerate(spans):
@@ -222,12 +227,14 @@ def run_streaming(
                 eng = make_engine(p, orients, model, ImageStack(maps), cfg)
                 banks = eng.banks
             else:
-                maps = pending.result() if pending is not None else (
-                    _read_chunk_local(source, start, stop, eng)
+                fields = (
+                    pending.result()
+                    if pending is not None
+                    else _prepare(start, stop)
                 )
-                banks = eng.swap_images(maps)
+                banks = eng._place_banks(fields)
             pending = (
-                pool.submit(_read_chunk_local, source, *spans[ci + 1], eng)
+                pool.submit(_prepare, *spans[ci + 1])
                 if ci + 1 < len(spans)
                 else None
             )
