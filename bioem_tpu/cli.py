@@ -116,14 +116,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     cfg = RunConfig.from_env()
 
-    import os
+    from .config import force_cpu_if_requested
 
-    if os.environ.get("BIOEM_TPU_FORCE_CPU"):
-        # Some TPU plugins ignore JAX_PLATFORMS=cpu; only the config update
-        # after import is authoritative (CPU-mesh smoke testing / CI).
-        import jax
-
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
 
     # Multi-host bootstrap (reference main.cpp:64-68 runs MPI_Init
     # unconditionally; initialize() is a safe no-op single-host). Must come

@@ -106,3 +106,14 @@ class RunConfig:
             forced.add("fused_lse")
         cfg.forced = frozenset(forced)
         return cfg
+
+
+def force_cpu_if_requested() -> None:
+    """BIOEM_TPU_FORCE_CPU=1 pins JAX to the host CPU (CPU-mesh smoke
+    testing / CI). The axon TPU plugin force-sets JAX_PLATFORMS, so only a
+    jax.config update AFTER importing jax is authoritative — call this
+    before the first backend touch."""
+    if os.environ.get("BIOEM_TPU_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

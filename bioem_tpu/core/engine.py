@@ -303,6 +303,31 @@ class BioEMEngine:
         flat = maps.reshape(n_img, -1).astype(np.float64)
         sum_ref = flat.sum(axis=1).astype(np.float32)
         ssq_ref = (flat**2).sum(axis=1).astype(np.float32)
+        # Data-driven gate for the f32 log1p shortcut in logpro_constants:
+        # the shortcut needs h/g = (sr²/ssr)/g ≲ 1e-4 per image; with
+        # g = ntot − sc²/ssc ≳ ntot/2 that bounds to h_max < 5e-5·ntot.
+        # Normalised ingest gives h ≈ 1e-9; TEXT maps are never normalised
+        # (reference parity) and a DC-dominated text image has h ~ ntot,
+        # where the f32 path would shift K by whole log-units. The gate is
+        # trace-time static, so swapped image chunks must stay on the same
+        # side (checked below).
+        h_max = float(
+            np.max(sum_ref.astype(np.float64) ** 2
+                   / np.maximum(ssq_ref.astype(np.float64), 1e-300))
+        ) if n_img else 0.0
+        f32_ok = (not self.p.no_map_norm) and (
+            h_max < 5e-5 * self.p.n_total_pixels
+        )
+        if not hasattr(self, "_f32_corr_ok"):
+            self._f32_corr_ok = f32_ok
+        elif self._f32_corr_ok and not f32_ok:
+            raise ValueError(
+                "swap_images: this image chunk has DC-dominated images "
+                f"(max sum²/sumsq = {h_max:.3g}) but the engine was "
+                "compiled with the f32 log1p shortcut for near-zero-mean "
+                "images; rebuild the engine with (a chunk of) these images "
+                "so the f64 correction path is compiled in"
+            )
         img_fft = np.fft.rfft2(maps.astype(np.float32)).astype(np.complex64)
         img_fc = (
             np.conj(img_fft) * (self._h[None, None, :] / np.float32(n * n))
@@ -504,7 +529,7 @@ class BioEMEngine:
             prior_oc = jnp.broadcast_to(prior[None, :], sum_c.shape)
             f0, k = logpro_constants(
                 sum_c, ssq_c, banks.sum_ref, banks.ssq_ref, prior_oc, ntot,
-                images_normalized=not p.no_map_norm,
+                images_normalized=self._f32_corr_ok,
             )
             # Stride-fold: displacements are multiples of the lattice stride
             # s, so when s | N the wx weights have period N/s and the kernel
@@ -512,7 +537,10 @@ class BioEMEngine:
             s = p.grid_space_center
             n_fold = s if (s > 1 and n % s == 0) else 1
             d = self.disp.shape[0]
-            if self.fused_lse:
+            # The fused kernel's in-kernel LSE is f32-only (no f64 on the
+            # Mosaic data path); DC-dominated image banks need the f64 u
+            # evaluation, so they route through the hybrid path below.
+            if self.fused_lse and self._f32_corr_ok:
                 from ..ops.compare_pallas import fused_compare_block
 
                 # u(cc) = a_u·cc − b_u·cc² coefficients, divide hoisted out
@@ -560,7 +588,11 @@ class BioEMEngine:
                     img_tile=self.i_block,
                     n_fold=n_fold,
                 ).reshape(o, c, n_img_local, d, d)
-                m, se, ds, ccs = displacement_lse(cc, sum_c, banks.sum_ref, f0, ntot)
+                m, se, ds, ccs = displacement_lse(
+                    cc, sum_c, banks.sum_ref, f0, ntot,
+                    f32_u=self._f32_corr_ok,
+                    ssq_c=ssq_c, ssq_ref=banks.ssq_ref,
+                )
             k = jnp.where(mask[:, None, None] != 0, k, -jnp.inf)
             return merge_block(
                 state, m, se, ds, ccs, k, sum_c, ssq_c, banks.sum_ref,
@@ -577,13 +609,16 @@ class BioEMEngine:
             img_re_b, img_im_b, sref_b, ssref_b = args
             f0, k = logpro_constants(
                 sum_c, ssq_c, sref_b, ssref_b, prior_oc, ntot,
-                images_normalized=not p.no_map_norm,
+                images_normalized=self._f32_corr_ok,
             )
             cc = displacement_cc(
                 conv_re, conv_im, img_re_b, img_im_b,
                 banks.wx_re, banks.wx_im, banks.wy_re, banks.wy_im,
             )
-            m, se, ds, ccs = displacement_lse(cc, sum_c, sref_b, f0, ntot)
+            m, se, ds, ccs = displacement_lse(
+                cc, sum_c, sref_b, f0, ntot, f32_u=self._f32_corr_ok,
+                ssq_c=ssq_c, ssq_ref=ssref_b,
+            )
             return m, se, ds, ccs, k
 
         n_img_local = banks.img_re.shape[0]

@@ -157,17 +157,23 @@ def logpro_constants(
     ntot = jnp.float64(ntot)
     a_coef = (3.0 - ntot) * 0.5
     forlog = ssc * ntot - sc * sc
-    g = forlog / ssc  # (O, C, 1)
-    h = sr * sr / ssr  # (1, 1, I)
-    f0 = ssr * ssc * (g - h)
-    ratio = h / g  # (O, C, I) — muls only, no per-(o,c,i) transcendental
     if images_normalized:
+        g = forlog / ssc  # (O, C, 1)
+        h = sr * sr / ssr  # (1, 1, I)
+        f0 = ssr * ssc * (g - h)
+        ratio = h / g  # (O, C, I) — muls only, no per-(o,c,i) transcendental
         corr = jnp.log1p(-(ratio.astype(F32))).astype(F64)
+        log_f0 = jnp.log(ssr) + jnp.log(ssc) + jnp.log(g) + corr
     else:
-        corr = jnp.log1p(-ratio)
-    log_f0 = (
-        jnp.log(ssr) + jnp.log(ssc) + jnp.log(g) + corr
-    )
+        # DC-capable reference point: F0 = ssr·ssc·(g−h) goes NEGATIVE for
+        # DC-dominated (never-normalised TEXT) images — g−h = ntot −
+        # sc²/ssc − sr²/ssr has no sign guarantee, only the full firstele
+        # does (Gram determinant). Use F0' = ntot·ssr·ssc > 0 and fold the
+        # −ssr·sc² − sr²·ssc terms into the (f64) u of displacement_lse.
+        f0 = jnp.broadcast_to(
+            ntot * ssr * ssc, (sc.shape[0], sc.shape[1], sr.shape[2])
+        )
+        log_f0 = jnp.log(ntot) + jnp.log(ssr) + jnp.log(ssc)
     k = (
         a_coef * log_f0
         + (ntot * 0.5 - 2.0) * jnp.log((ntot - 2.0) * forlog)
@@ -218,6 +224,9 @@ def displacement_lse(
     sum_ref: jnp.ndarray,  # (I,) f32
     f0: jnp.ndarray,  # (O, C, I) f64
     ntot: float,
+    f32_u: bool = True,
+    ssq_c: jnp.ndarray = None,  # (O, C) f32 — required when f32_u=False
+    ssq_ref: jnp.ndarray = None,  # (I,) f32
 ):
     """Max + sum-exp of A·log1p(u_d) over the displacement grid.
 
@@ -225,20 +234,48 @@ def displacement_lse(
     varying part, Σexp(V−m), flat argmax displacement index (reference
     sweep order → same tie-breaking as bioem_algorithm.h:156-197), and the
     cc value at the argmax (needed for the analytic norm/offset).
+
+    ``f32_u=False`` pairs with logpro_constants' DC-capable reference
+    F0 = ntot·ssr·ssc and evaluates the FULL varying part in f64 (like the
+    reference's double calc_logpro on float cc inputs,
+    bioem_algorithm.h:18-70):
+
+        u = (2·sr·sc·cc − ntot·cc² − ssr·sc² − sr²·ssc) / F0
+
+    so firstele = F0·(1+u) with u ∈ (−1, 0] exactly when the Gram
+    determinant is; for DC-dominated unnormalised images the f32 split
+    path rounds u below −1 → NaN. The engine selects the branch from the
+    same data-driven gate as logpro_constants.
     """
     o, c, i, d1, d2 = cc.shape
-    ntot_f = jnp.float32(ntot)
     a_coef = jnp.float32((3.0 - ntot) * 0.5)
     # Flatten the displacement lattice BEFORE the transcendentals: on a
     # (…, D, D) array the TPU pads the (21, 21) minor tile to (24, 128) —
     # log1p/exp at 14% lane fill. Flat (…, D²=441) pads to 512 → 86% fill;
     # measured round 3, this was most of the "XLA displacement-LSE" phase.
     cc_flat = cc.reshape(o, c, i, d1 * d2)
-    sc = sum_c[:, :, None, None]
-    sr = sum_ref[None, None, :, None]
-    f0_32 = f0.astype(F32)[:, :, :, None]
-    u = (2.0 * sr * sc * cc_flat - ntot_f * cc_flat * cc_flat) / f0_32
-    v_flat = a_coef * jnp.log1p(u)  # (O,C,I,D²)
+    if f32_u:
+        sc = sum_c[:, :, None, None]
+        sr = sum_ref[None, None, :, None]
+        f0_32 = f0.astype(F32)[:, :, :, None]
+        u = (
+            2.0 * sr * sc * cc_flat - jnp.float32(ntot) * cc_flat * cc_flat
+        ) / f0_32
+        v_flat = a_coef * jnp.log1p(u)  # (O,C,I,D²)
+    else:
+        cc64 = cc_flat.astype(F64)
+        sc = sum_c.astype(F64)[:, :, None, None]
+        sr = sum_ref.astype(F64)[None, None, :, None]
+        ssc = ssq_c.astype(F64)[:, :, None, None]
+        ssr = ssq_ref.astype(F64)[None, None, :, None]
+        num = (
+            2.0 * sr * sc * cc64
+            - jnp.float64(ntot) * cc64 * cc64
+            - ssr * sc * sc
+            - sr * sr * ssc
+        )
+        u = num / f0[:, :, :, None]
+        v_flat = (a_coef.astype(F64) * jnp.log1p(u)).astype(F32)
     m = jnp.max(v_flat, axis=-1)
     d_star = jnp.argmax(v_flat, axis=-1).astype(I32)
     sumexp = jnp.sum(jnp.exp(v_flat - m[..., None]), axis=-1)

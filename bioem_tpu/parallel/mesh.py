@@ -116,34 +116,8 @@ class ShardedBioEMEngine(BioEMEngine):
         blocks_per_shard = n_blk // self.n_orient_shards
         o_per_shard = blocks_per_shard * self.o_block
 
-        def shard_fn(state, banks, ang_blocks, offsets, masks):
-            # Local offsets within this shard's per-angle slab.
-            local_off = (
-                jnp.arange(blocks_per_shard, dtype=jnp.int32) * self.o_block
-            )
-
-            def body(st, xs):
-                ang, off, mask, loff = xs
-                return (
-                    self._block_step(st, banks, ang, off, mask, ang_offset=loff),
-                    None,
-                )
-
-            state, _ = jax.lax.scan(
-                body, state, (ang_blocks, offsets, masks, local_off)
-            )
-            return merge_across_orient(state, "orient")
-
-        self._sharded_run = jax.jit(
-            jax.shard_map(
-                shard_fn,
-                mesh=mesh,
-                in_specs=(state_specs, self.banks_specs, blk_spec, blk_spec, blk_spec),
-                out_specs=state_specs,
-                check_vma=False,
-            ),
-            donate_argnums=(0,),
-        )
+        self._state_specs = state_specs
+        self._sharded_run = self._make_sharded_scan(blocks_per_shard, blk_spec)
 
         # --- chunked runner for checkpoint/resume ---------------------------
         # The single-call scan above cannot checkpoint mid-run; with a
@@ -160,8 +134,8 @@ class ShardedBioEMEngine(BioEMEngine):
         # n_img_pad) with spec P("orient", "img"); the per-angle slabs are
         # already genuinely orient-sharded and keep their spec.
         self._chunks = None
-        if self.cfg.checkpoint_path:
-            every = max(1, self.cfg.checkpoint_every or 16)
+
+        def build_chunked(every):
             bps = blocks_per_shard
             n_chunks = _cdiv(bps, every)
             bps_pad = n_chunks * every
@@ -251,6 +225,13 @@ class ShardedBioEMEngine(BioEMEngine):
             )
             self._stacked_specs = stacked_specs
 
+        # Kept callable so run() can enable checkpointing per-call (base
+        #-class contract) even when cfg.checkpoint_path was empty at
+        # construction — the chunked runner is then built lazily.
+        self._build_chunked = build_chunked
+        if self.cfg.checkpoint_path:
+            build_chunked(max(1, self.cfg.checkpoint_every or 16))
+
         # Host copies of the leading orientation blocks for the autotuner's
         # timing program (time_blocks replays them replicated on every
         # orientation shard — per-shard work identical to production).
@@ -274,7 +255,45 @@ class ShardedBioEMEngine(BioEMEngine):
         self.ang_blocks = put(self.ang_blocks, blk_spec)
         self.offsets = put(self.offsets, blk_spec)
         self.mask_blocks = put(self.mask_blocks, blk_spec)
-        self._state_specs = state_specs
+
+    # ------------------------------------------------------------------
+    def _make_sharded_scan(self, n_blocks: int, blk_in_spec):
+        """Jitted shard_map'd scan over ``n_blocks`` per-shard orientation
+        blocks followed by the collective orient merge. One factory serves
+        both the production run (blk_in_spec = P("orient")) and the
+        autotuner's timing probe (replicated blocks, P()) so they can never
+        drift apart — a probe timing a different program than production is
+        exactly the mistune class time_blocks exists to eliminate."""
+
+        def shard_fn(state, banks, ang_blocks, offsets, masks):
+            # Local offsets within this shard's per-angle slab.
+            local_off = jnp.arange(n_blocks, dtype=jnp.int32) * self.o_block
+
+            def body(st, xs):
+                ang, off, mask, loff = xs
+                return (
+                    self._block_step(st, banks, ang, off, mask, ang_offset=loff),
+                    None,
+                )
+
+            state, _ = jax.lax.scan(
+                body, state, (ang_blocks, offsets, masks, local_off)
+            )
+            return merge_across_orient(state, "orient")
+
+        return jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=self.mesh,
+                in_specs=(
+                    self._state_specs, self.banks_specs,
+                    blk_in_spec, blk_in_spec, blk_in_spec,
+                ),
+                out_specs=self._state_specs,
+                check_vma=False,
+            ),
+            donate_argnums=(0,),
+        )
 
     # ------------------------------------------------------------------
     def _place_banks(self, host_fields: dict) -> Banks:
@@ -331,37 +350,7 @@ class ShardedBioEMEngine(BioEMEngine):
             max(1, _cdiv(target_orients, self.o_block)), self._blk_host[0].shape[0]
         )
         if nb not in self._timing_runs:
-            state_specs = self._state_specs
-            banks_specs = self.banks_specs
-            rep = P()
-
-            def shard_fn(state, banks, ang_blocks, offsets, masks):
-                local_off = (
-                    jnp.arange(nb, dtype=jnp.int32) * self.o_block
-                )
-
-                def body(st, xs):
-                    ang, off, mask, loff = xs
-                    return (
-                        self._block_step(st, banks, ang, off, mask, ang_offset=loff),
-                        None,
-                    )
-
-                state, _ = jax.lax.scan(
-                    body, state, (ang_blocks, offsets, masks, local_off)
-                )
-                return merge_across_orient(state, "orient")
-
-            self._timing_runs[nb] = jax.jit(
-                jax.shard_map(
-                    shard_fn,
-                    mesh=self.mesh,
-                    in_specs=(state_specs, banks_specs, rep, rep, rep),
-                    out_specs=state_specs,
-                    check_vma=False,
-                ),
-                donate_argnums=(0,),
-            )
+            self._timing_runs[nb] = self._make_sharded_scan(nb, P())
         fn = self._timing_runs[nb]
         ang = put_sharded(self._blk_host[0][:nb], self.mesh, P())
         off = put_sharded(self._blk_host[1][:nb], self.mesh, P())
@@ -386,7 +375,10 @@ class ShardedBioEMEngine(BioEMEngine):
         if banks is None:
             banks = self.banks
         ckpt = checkpoint_path if checkpoint_path is not None else self.cfg.checkpoint_path
-        if self._chunks is None or not ckpt:
+        if ckpt and self._chunks is None:
+            # Per-call checkpoint enable on an engine built without one.
+            self._build_chunked(max(1, self.cfg.checkpoint_every or 16))
+        if not ckpt:
             state = self.initial_state()
             return self._sharded_run(
                 state, banks, self.ang_blocks, self.offsets, self.mask_blocks

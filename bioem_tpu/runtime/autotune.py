@@ -41,11 +41,16 @@ def _cache_path() -> str:
 
 
 def _bucket(n: int) -> int:
-    """Round up to the next power of two: the tuned winner depends on shape
-    *scale*, not exact counts — bucketing lets a production run with 4500
-    images reuse the entry tuned at 4096 instead of re-paying minutes of
-    tunnel compiles (ADVICE r2: exact-count keys never hit in production)."""
-    return 1 << max(int(n) - 1, 0).bit_length()
+    """Round to the NEAREST power of two (ratio distortion ≤ √2): the tuned
+    winner depends on shape *scale*, not exact counts — bucketing lets a
+    production run with 4500 images reuse the entry tuned at 4096 instead
+    of re-paying minutes of tunnel compiles (ADVICE r2: exact-count keys
+    never hit in production; round-UP would put 4097..8192 in a different
+    bucket than the 4096 the bench tunes at)."""
+    n = max(int(n), 1)
+    hi = 1 << (n - 1).bit_length()
+    lo = max(hi // 2, 1)
+    return lo if n * n <= lo * hi else hi
 
 
 def _cache_key(p, n_orient: int, n_img: int, cfg=None) -> str:
@@ -62,9 +67,15 @@ def _cache_key(p, n_orient: int, n_img: int, cfg=None) -> str:
         # Per-shard shapes differ from the single-chip case; a mesh run must
         # never reuse (or poison) the single-chip entry.
         mesh = f"|M{cfg.mesh_images}x{cfg.mesh_orient}"
+    # BIOEM_DEBUG_BREAK caps n_ctf as well as n_orient (engine.py) — the
+    # key must reflect the CTF count actually run, or a debug-capped tune
+    # poisons the production entry.
+    n_ctf = p.n_ctf
+    if cfg is not None and cfg.debug_break:
+        n_ctf = min(n_ctf, cfg.debug_break)
     return (
         f"{kind}|N{p.n_pixels}|D{p.nx_disp}|s{p.grid_space_center}"
-        f"|C{p.n_ctf}|I{_bucket(n_img)}|O{_bucket(n_orient)}{mesh}{forced}"
+        f"|C{n_ctf}|I{_bucket(n_img)}|O{_bucket(n_orient)}{mesh}{forced}"
     )
 
 
@@ -220,7 +231,13 @@ def autotune_config(
             if blocks is not None
             else min(1024, n_orient)
         )
-        t_cand = eng.time_blocks(target_orients, repeats=repeats)
+        try:
+            t_cand = eng.time_blocks(target_orients, repeats=repeats)
+        except Exception as e:  # compile/measure failure (OOM, lowering)
+            # must not abort the production run — the candidate just loses
+            if verbose:
+                print(f"autotune: candidate failed during timing: {e}")
+            continue
         if verbose:
             print(
                 f"autotune: o_block={cand.orient_block} pallas={cand.use_pallas} "

@@ -118,3 +118,37 @@ def test_posterior_invariant_under_image_permutation(rng):
     r2 = e2.results(e2.run())
     np.testing.assert_allclose(r2.log_prob, r1.log_prob[perm], rtol=1e-12)
     np.testing.assert_array_equal(r2.best_orient, r1.best_orient[perm])
+
+
+def test_dc_dominated_unnormalized_images_match_oracle(rng):
+    """r3 regression: TEXT-ingested images are never normalised (reference
+    parity), so a DC-dominated stack violates the sr ≈ 0 premise of the f32
+    log1p shortcut in logpro_constants — the engine must take the f64
+    correction path (data-driven gate, engine._image_arrays), not key the
+    choice on NO_MAP_NORM alone. With the f32 path forced this case is off
+    by ~0.07 log-units."""
+    from bioem_tpu.io.map_io import ImageStack
+
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    n = p.n_pixels
+    maps = (100.0 + rng.normal(0.0, 10.0, size=(3, n, n))).astype(np.float32)
+    images = ImageStack(maps)
+    oracle = run_oracle(
+        p, orients, model.points.astype(np.float64), model.radii,
+        model.densities, model.norm_den, images.maps,
+    )
+    eng = BioEMEngine(p, orients, model, images, RunConfig(orient_block=3))
+    assert not eng._f32_corr_ok
+    res = eng.results(eng.run())
+    np.testing.assert_allclose(res.log_prob, oracle.log_prob, rtol=0, atol=2e-3)
+
+    # A zero-mean engine must refuse a DC-dominated swapped chunk rather
+    # than run it through the compiled f32 branch.
+    eng0 = BioEMEngine(
+        p, orients, model, tiny_images(rng, 3, n), RunConfig(orient_block=3)
+    )
+    assert eng0._f32_corr_ok
+    with pytest.raises(ValueError, match="DC-dominated"):
+        eng0.swap_images(maps)

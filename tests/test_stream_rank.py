@@ -263,3 +263,28 @@ def test_mrc_stack_source_chunks(rng, tmp_path):
     assert src.n_images == 5
     got = np.concatenate([src.chunk(0, 2), src.chunk(2, 5)])
     np.testing.assert_allclose(got, ref, rtol=0, atol=1e-6)
+
+
+def test_sharded_per_call_checkpoint_path(rng, tmp_path):
+    """r3 review fix: ShardedBioEMEngine.run must honour a per-call
+    checkpoint_path even when the engine was built without
+    cfg.checkpoint_path (the chunked runner is built lazily) — previously
+    the override was silently dropped."""
+    import os
+
+    from bioem_tpu.parallel.mesh import ShardedBioEMEngine
+
+    p = tiny_params()
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+
+    cfg = RunConfig(orient_block=2, mesh_images=2, mesh_orient=2)
+    eng = ShardedBioEMEngine(p, orients, model, images, cfg)
+    ref = eng.results(eng.run())
+
+    ckpt = str(tmp_path / "percall.npz")
+    eng2 = ShardedBioEMEngine(p, orients, model, images, cfg)
+    res = eng2.results(eng2.run(checkpoint_path=ckpt))
+    assert os.path.exists(ckpt)
+    np.testing.assert_allclose(res.log_prob, ref.log_prob, rtol=1e-12)

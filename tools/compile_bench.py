@@ -22,10 +22,9 @@ import numpy as np
 
 def main():
     tiles = [int(a) for a in sys.argv[1:]] or [16, 32, 64]
-    if os.environ.get("BIOEM_TPU_FORCE_CPU"):
-        import jax
+    from bioem_tpu.config import force_cpu_if_requested
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
     import jax
 
     from bench import build_problem

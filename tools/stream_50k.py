@@ -56,12 +56,9 @@ def main():
     n_images = int(args[0]) if len(args) > 0 else 50_000
     chunk = int(args[1]) if len(args) > 1 else 1024
 
-    if os.environ.get("BIOEM_TPU_FORCE_CPU"):
-        # The axon TPU plugin ignores JAX_PLATFORMS=cpu; only the config
-        # update after import is authoritative (CPU-mesh smoke testing).
-        import jax
+    from bioem_tpu.config import force_cpu_if_requested
 
-        jax.config.update("jax_platforms", "cpu")
+    force_cpu_if_requested()
 
     from bench import build_problem
     from bioem_tpu.config import RunConfig
