@@ -264,6 +264,39 @@ def bench_accuracy():
     return worst
 
 
+def device_health():
+    """Chained in-jit bf16 matmul throughput — a pure device-side probe.
+
+    The TPU behind the axon tunnel can silently degrade (measured
+    2026-08-20: 3.2 TF/s vs ~200 peak, every engine config collapsing to
+    the same throughput). Reporting the probe alongside the metric makes
+    cross-run comparisons interpretable: only compare `value` between runs
+    with similar `device_health_tflops`. See tools/tpu_health.py.
+    """
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    n, reps = 4096, 32
+    x = jnp.ones((n, n), jnp.bfloat16)
+
+    @jax.jit
+    def f(x):
+        for _ in range(reps):
+            x = jnp.tanh(x @ x * 1e-4)
+        return x
+
+    try:
+        np.asarray(f(x))
+        t0 = time.time()
+        np.asarray(f(x))
+        dt = time.time() - t0
+        return round(reps * 2 * n**3 / dt / 1e12, 1)
+    except Exception:
+        return None
+
+
 def main():
     import jax
 
@@ -301,6 +334,7 @@ def main():
         "accuracy_cases": len(ACCURACY_CASES),
     }
     rec.update(mxu_accounting(p, tpu_rate, RunConfig.from_env()))
+    rec["device_health_tflops"] = device_health()
     print(json.dumps(rec))
 
 
