@@ -332,10 +332,28 @@ def project_fourier_one(
     st_sums: jnp.ndarray,  # (U,) per-group unit-stencil sums (tempden)
 ):
     """rfft2 of the projection, split (re, im) float32 (N, F) pair."""
-    n = fspec.n_pixels
     theta_x, theta_y, dens_eff = fourier_prologue(
         fspec, rotmat, points, radii, densities
     )
+    return fourier_epilogue(
+        fspec, theta_x, theta_y, dens_eff, norm_den, st_re, st_im, st_sums
+    )
+
+
+def fourier_epilogue(
+    fspec: FourierProjectionSpec,
+    theta_x: jnp.ndarray,  # (P,) per-point row phase increments
+    theta_y: jnp.ndarray,  # (P,)
+    dens_eff: jnp.ndarray,  # (P,) effective densities (padding zeroed)
+    norm_den: jnp.ndarray,
+    st_re: jnp.ndarray,
+    st_im: jnp.ndarray,
+    st_sums: jnp.ndarray,
+):
+    """Radius-group contraction shared by the snapped (grid-engine) and
+    smooth (refine.py) prologues: spectrum = Σ_g stencilDFT_g ⊙
+    Σ_p dens_p·e^{i(θx_p k1 + θy_p k2)}, density-renormalised."""
+    n = fspec.n_pixels
     k1 = jnp.arange(n, dtype=jnp.float32)
     k2 = jnp.arange(n // 2 + 1, dtype=jnp.float32)
     ax = theta_x[:, None] * k1[None, :]  # (P, N)

@@ -29,7 +29,9 @@ print("orientations:", orients.n, "ctfs:", p.n_ctf, flush=True)
 
 rng = np.random.default_rng(7)
 pts = rng.uniform(-25, 25, (40, 3)).astype(np.float32)
-radii = rng.uniform(2.0, 3.4, 40).astype(np.float32)
+# radii quantised to 0.1 Å → ≤15 distinct values, so the engine takes the
+# Fourier radius-group projection path (also required by refine_results)
+radii = np.round(rng.uniform(2.0, 3.4, 40), 1).astype(np.float32)
 dens = rng.uniform(40, 110, 40).astype(np.float32)
 model = Model(pts, radii, dens, float(dens.sum())).center_density_mass()
 
@@ -67,3 +69,20 @@ print("PLANTED-PARAMETER RECOVERY:", "PASS" if ok else "FAIL", flush=True)
 t0 = time.time(); state = eng.run(); jax.block_until_ready(state.total); t1 = time.time()
 comps = orients.n * p.n_ctf * images.n
 print(f"steady-state: {t1-t0:.2f}s  {comps/(t1-t0):.0f} comparisons/s", flush=True)
+
+# --- continuous refinement (beyond the reference; bioem_tpu/refine.py) ---
+t0 = time.time()
+ref = bioem_tpu.refine_results(eng, res, image_indices=[0], n_starts=8, iters=40)
+t1 = time.time()
+print(f"refine time: {t1-t0:.1f}s  logpro {ref.logpro_seed[0]:.1f} -> "
+      f"{ref.logpro_refined[0]:.1f}  cent ({ref.cent_x[0]:+.2f},{ref.cent_y[0]:+.2f})",
+      flush=True)
+# planted truth is ON-grid here, so the polish must stay near the seed and
+# must not lose log-posterior (monotone accept/reject guarantees >=).
+ref_ok = (
+    ref.logpro_refined[0] >= ref.logpro_seed[0]
+    and abs(ref.cent_x[0] - TRUE_DX) < 1.0
+    and abs(ref.cent_y[0] - TRUE_DY) < 1.0
+    and np.isfinite(ref.grad_norm[0])
+)
+print("CONTINUOUS REFINEMENT:", "PASS" if ref_ok else "FAIL", flush=True)
