@@ -90,8 +90,50 @@ def build_parser() -> argparse.ArgumentParser:
         default=defs.DEFAULT_OUTPUT_FILE,
         help="(Optional) For changing the outputfile name",
     )
+    ap.add_argument(
+        "--Refine",
+        action="store_true",
+        help="(Optional, no reference analogue) Continuously refine each "
+        "image's maximizing parameters off-grid by autodiff Newton ascent; "
+        "writes Output_Refined",
+    )
+    ap.add_argument(
+        "--RefineCTF",
+        action="store_true",
+        help="(Optional) With --Refine: also refine the CTF phase/envelope",
+    )
     ap.add_argument("--help", action="help", help="(Optional) Produce help message")
     return ap
+
+
+def write_refined(f, out) -> None:
+    """Output_Refined writer (framework extension — the reference cannot
+    differentiate its pipeline; see bioem_tpu/refine.py)."""
+    f.write(
+        "************************* HEADER: REFINED PARAMETERS "
+        "*******************************\n"
+    )
+    f.write(
+        "Refined Parameters: quaternions q1 q2 q3 q4, center displacement "
+        "x y, CTF phase & envelope\n"
+    )
+    f.write(
+        "Columns: RefMap LogProSeed LogProRefined q1 q2 q3 q4 CentX CentY "
+        "Pha Env GradNorm\n"
+    )
+    f.write(
+        "*********************************************************"
+        "****************************\n"
+    )
+    for i in range(out.rotmat.shape[0]):
+        q = out.quaternion[i]
+        f.write(
+            f"RefMap: {i} LogPro: {out.logpro_seed[i]:12.6f} -> "
+            f"{out.logpro_refined[i]:12.6f} Quat: {q[0]:12.6f} {q[1]:12.6f} "
+            f"{q[2]:12.6f} {q[3]:12.6f} Cent: {out.cent_x[i]:10.4f} "
+            f"{out.cent_y[i]:10.4f} Pha: {out.pha[i]:12.6f} Env: "
+            f"{out.env[i]:12.6f} GradNorm: {out.grad_norm[i]:.3e}\n"
+        )
 
 
 def write_rotated_models(model, orients, out) -> None:
@@ -221,6 +263,21 @@ def main(argv=None) -> int:
         if p.write_angles:
             with open(defs.FILE_ANG_PROB, "w") as f:
                 write_angle_probabilities(f, p, orients, results)
+
+    # ---- optional continuous refinement (no reference analogue) ----
+    if args.Refine:
+        from .refine import refine_results
+
+        t0 = time.perf_counter()
+        refined = refine_results(
+            perf["engine"], results, refine_ctf=args.RefineCTF
+        )
+        if cfg.debug_output >= 1:
+            print(f"Refinement: {time.perf_counter() - t0:.2f}s")
+        if jax.process_index() == 0:
+            with open(defs.FILE_REFINED, "w") as f:
+                write_refined(f, refined)
+            print(f"Refined parameters written to: {defs.FILE_REFINED}")
     return 0
 
 

@@ -398,8 +398,27 @@ def refine_results(
             "Rebuild the engine without force_raster and with ≤32 radius "
             "groups."
         )
+    if jax.process_count() > 1:
+        raise NotImplementedError(
+            "refine_results runs single-process (sharded banks are gathered "
+            "to the host). In a multi-host run, call it on each host with "
+            "image_indices = engine.owned_image_rows()."
+        )
     p = engine.p
     banks = engine.banks
+    if getattr(engine, "mesh", None) is not None:
+        # Mesh engines hold sharded banks; the refinement pass is a cheap
+        # per-image post-pass — gather what it reads to the default device.
+        banks = banks._replace(
+            **{
+                f: jnp.asarray(np.asarray(getattr(banks, f)))
+                for f in (
+                    "img_re", "img_im", "sum_ref", "ssq_ref",
+                    "points", "radii", "dens", "norm_den",
+                    "st_re", "st_im", "st_sums", "h", "amp", "pha", "env",
+                )
+            }
+        )
     idx = (
         np.arange(engine.n_img)
         if image_indices is None

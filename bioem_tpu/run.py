@@ -121,5 +121,8 @@ def run_bioem(
         "comparisons": comparisons,
         "comparisons_per_s": comparisons / run_s if run_s > 0 else float("inf"),
         "n_devices": eng.cfg.mesh_images * eng.cfg.mesh_orient,
+        # the engine itself, for post-passes that reuse its device banks
+        # (continuous refinement: cli.py --Refine → refine.refine_results)
+        "engine": eng,
     }
     return results, perf

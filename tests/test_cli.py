@@ -136,3 +136,31 @@ def test_cli_print_best_map(workdir):
 def test_cli_missing_mandatory(workdir, capsys):
     rc = cli.main(["--Modelfile", "model.txt"])
     assert rc == 1
+
+
+def test_cli_refine_flag(workdir):
+    """--Refine (framework extension) writes Output_Refined with one line
+    per image, refined logpro >= seed, unit quaternions."""
+    rc = cli.main(
+        [
+            "--Modelfile", "model.txt",
+            "--Particlesfile", "particles.txt",
+            "--Inputfile", "param.txt",
+            "--ReadOrientation", "angles.txt",
+            "--Refine",
+        ]
+    )
+    assert rc == 0
+    assert os.path.exists("Output_Refined")
+    lines = [
+        ln for ln in open("Output_Refined").read().splitlines()
+        if ln.startswith("RefMap:")
+    ]
+    assert len(lines) == 2
+    for ln in lines:
+        toks = ln.split()
+        lp_seed = float(toks[3])
+        lp_ref = float(toks[5])
+        assert lp_ref >= lp_seed
+        q = np.array([float(t) for t in toks[7:11]])
+        np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)

@@ -268,3 +268,23 @@ def test_refine_raster_engine_rejected(rng):
     res = eng.results(eng.run())
     with pytest.raises(ValueError, match="Fourier projection layout"):
         refine_results(eng, res)
+
+
+def test_refine_on_mesh_engine(rng):
+    """Refinement works as a post-pass on a sharded (mesh) engine — banks
+    are gathered to the default device (single-process)."""
+    from bioem_tpu.parallel.mesh import ShardedBioEMEngine
+
+    p = _params()
+    orients = build_orientations(p)
+    model = tiny_model(rng, n_points=10)
+    images = tiny_images(rng, 4, p.n_pixels)
+    cfg = RunConfig(orient_block=4, mesh_images=2, mesh_orient=2)
+    eng = ShardedBioEMEngine(p, orients, model, images, cfg)
+    res = eng.results(eng.run())
+    out = refine_results(eng, res, n_starts=4, iters=20)
+    assert np.all(out.logpro_refined >= out.logpro_seed)
+    assert out.rotmat.shape == (4, 3, 3)
+    np.testing.assert_allclose(
+        np.linalg.norm(out.quaternion, axis=1), 1.0, atol=1e-6
+    )
