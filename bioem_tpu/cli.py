@@ -265,7 +265,17 @@ def main(argv=None) -> int:
                 write_angle_probabilities(f, p, orients, results)
 
     # ---- optional continuous refinement (no reference analogue) ----
-    if args.Refine:
+    if args.Refine and jax.process_count() > 1:
+        # refine_results is single-process (it gathers sharded banks to the
+        # host and would raise NotImplementedError after the main compute
+        # finished). Skip loudly rather than crash the multi-host run.
+        print(
+            "WARNING: --Refine is not supported in multi-host runs; "
+            "skipping refinement. Re-run single-host with --LoadMapDump "
+            "or call bioem_tpu.refine.refine_results per host with "
+            "image_indices=engine.owned_image_rows()."
+        )
+    elif args.Refine:
         from .refine import refine_results
 
         t0 = time.perf_counter()

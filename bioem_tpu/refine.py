@@ -70,6 +70,10 @@ from .core.projection import fourier_epilogue
 F32 = jnp.float32
 F64 = jnp.float64
 
+# Lower bound for the refined CTF B-envelope (Å²-scaled Fourier damping):
+# keeps exp(-r²·env/2) a decaying filter under refinement.
+ENV_FLOOR = 1e-8
+
 
 # ---------------------------------------------------------------------------
 # Smooth forward-model pieces
@@ -213,7 +217,11 @@ def _logpro_smooth(theta, consts, static):
         static["st_re"], static["st_im"], static["st_sums"],
     )
     pha = consts["pha0"] + theta["dctf"][0].astype(F32)
-    env = consts["env0"] + theta["dctf"][1].astype(F32)
+    # Clamp the refined envelope to stay physical: env <= 0 would turn
+    # exp(-r²·env/2) into an exponentially growing high-frequency amplifier
+    # and the symmetric Gaussian prior would not prevent the optimizer from
+    # settling on that noise-fitting optimum.
+    env = jnp.maximum(consts["env0"] + theta["dctf"][1].astype(F32), ENV_FLOOR)
     ctf = smooth_ctf_spectrum(
         n, static["pixel_size"], static["use_psf"], consts["amp0"], pha, env,
         static.get("cos_n"), static.get("sin_n"),
@@ -244,9 +252,14 @@ def _logpro_smooth(theta, consts, static):
         - sr * sr * ssq_c
     )
     forlog = ssq_c * ntot - sum_c * sum_c
-    logpro = (3.0 - ntot) * 0.5 * jnp.log(firstele) + (
+    # Positivity guard: at a jittered start far from the seed, firstele can
+    # round to <= 0, which would NaN this start's whole Newton trajectory.
+    # Clamping to tiny keeps the objective finite (and terrible), so the
+    # start stays recoverable instead of dead weight.
+    tiny = jnp.asarray(1e-300, F64)
+    logpro = (3.0 - ntot) * 0.5 * jnp.log(jnp.maximum(firstele, tiny)) + (
         ntot * 0.5 - 2.0
-    ) * jnp.log((ntot - 2.0) * forlog)
+    ) * jnp.log(jnp.maximum((ntot - 2.0) * forlog, tiny))
     from .core.posterior import ctf_prior_term
 
     logpro = logpro - ctf_prior_term(
@@ -488,7 +501,7 @@ def refine_results(
         return _logpro_smooth(theta, c, static)
 
     if jitter_disp is None:
-        jitter_disp = 0.6 * float(getattr(p, "grid_space_center", 1) or 1)
+        jitter_disp = 0.6 * float(p.grid_space_center)
     rng = np.random.default_rng(seed)
     starts = np.zeros((n_starts, 7))
     if n_starts > 1:
@@ -523,7 +536,7 @@ def refine_results(
         cent_x=-d[:, 0],
         cent_y=-d[:, 1],
         pha=pha0 + dctf[:, 0],
-        env=env0 + dctf[:, 1],
+        env=np.maximum(env0 + dctf[:, 1], ENV_FLOOR),
         amp=amp0.astype(np.float64),
         logpro_seed=np.asarray(lp0, np.float64),
         logpro_refined=np.asarray(lp1, np.float64),
