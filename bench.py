@@ -58,7 +58,12 @@ def build_problem():
     orients = build_orientations(p)
     rng = np.random.default_rng(0)
     npts = 500  # ~protein-complex Cα count
-    pts = rng.uniform(-80, 80, (npts, 3)).astype(np.float32)
+    # Uniform in a radius-100 Å ball: with the 224 px × 1.06 Å frame
+    # (±118.7 Å) every rotation projects fully in-bounds, so the canonical
+    # bench artifact runs without out-of-frame warnings (VERDICT r3 weak #6).
+    u = rng.normal(size=(npts, 3))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    pts = (u * 100.0 * rng.uniform(size=(npts, 1)) ** (1 / 3)).astype(np.float32)
     # Radii/densities drawn from the PDB residue tables (the production
     # model shape: ≤20 distinct radii, reference model.cpp:738-844).
     from bioem_tpu.io.model_io import AA_DENSITY, AA_RADIUS
@@ -221,11 +226,21 @@ ACCURACY_CASES = {
     "case_c_mrc_stack": ("maps.mrc", ("--ReadMRC",)),
 }
 
+# Production-N (224) golden, run on the live backend separately: its
+# |Δlog P| is LIMITED BY THE REFERENCE's own float32 pixel path — the f64
+# oracle sits 7.7e-2 from this golden while the engine tracks the oracle to
+# ~5e-7 (tools/golden_error_budget.py; tests/test_golden.py
+# test_engine_beats_reference_precision). Reported as its own field so the
+# N=16 metric stays comparable across rounds.
+ACCURACY_CASES_N224 = {
+    "case_n_n224": ("maps.txt", ("--ReadOrientation", "euler.txt")),
+}
 
-def bench_accuracy():
+
+def bench_accuracy(cases=None):
     """BASELINE.md accuracy metric: worst max |Δlog P| vs the reference
-    binary's golden outputs over ACCURACY_CASES, measured on the current
-    backend. None if goldens are absent."""
+    binary's golden outputs over ``cases`` (default ACCURACY_CASES),
+    measured on the current backend. None if goldens are absent."""
     import shutil
     import tempfile
 
@@ -245,7 +260,7 @@ def bench_accuracy():
         return np.array([vals[i] for i in range(len(vals))])
 
     worst = None
-    for case, (maps_file, extra) in ACCURACY_CASES.items():
+    for case, (maps_file, extra) in (cases or ACCURACY_CASES).items():
         src = os.path.join(data, case)
         if not os.path.isdir(src):
             continue
@@ -383,6 +398,7 @@ def main():
     tpu_rate, comparisons = bench_engine(p, orients, model, images)
     base_rate = bench_numpy_baseline(p, orients, model, images)
     max_dlogp = bench_accuracy()
+    max_dlogp_n224 = bench_accuracy(ACCURACY_CASES_N224)
     from bioem_tpu.config import RunConfig
 
     rec = {
@@ -400,6 +416,10 @@ def main():
         # on this backend.
         "max_abs_dlogp_vs_reference": max_dlogp,
         "accuracy_cases": len(ACCURACY_CASES),
+        # Production-N=224 golden on the live backend. This delta is the
+        # REFERENCE's own f32 quadrature error (~1.5e-6·N²): the engine
+        # tracks the f64 oracle to ~5e-7 at this N (golden_error_budget.py).
+        "max_abs_dlogp_vs_reference_n224": max_dlogp_n224,
     }
     rec.update(mxu_accounting(p, tpu_rate, RunConfig.from_env()))
     # Post-measurement probe: catches a degradation that began MID-run

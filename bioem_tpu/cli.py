@@ -263,6 +263,12 @@ def main(argv=None) -> int:
         if p.write_angles:
             with open(defs.FILE_ANG_PROB, "w") as f:
                 write_angle_probabilities(f, p, orients, results)
+        # Per-evaluation debug dump (reference DEBUG_PROB, defs.h:52):
+        # BIOEM_TPU_DEBUG_PROB=<image index> writes every (orientation,
+        # ctf, displacement) logpro of that image for cross-path diffing.
+        from .debug_prob import maybe_dump_from_env
+
+        maybe_dump_from_env(perf["engine"])
 
     # ---- optional continuous refinement (no reference analogue) ----
     if args.Refine and jax.process_count() > 1:

@@ -477,11 +477,9 @@ class BioEMEngine:
             )
 
     # ------------------------------------------------------------------
-    def _block_step(self, state: PosteriorState, banks: Banks, angles, orient_offset, mask, ang_offset=None):
-        p = self.p
-        n = p.n_pixels
-        ntot = p.n_total_pixels
-
+    def _project_block(self, banks: Banks, angles):
+        """Projection spectra (pr, pi) of one orientation block — the front
+        half of the block step, shared with the DEBUG_PROB dump path."""
         rotm = rotation_matrices(angles, self.orients.use_quaternions)
         if self.fspec is not None:
             proj_fn = (
@@ -499,6 +497,14 @@ class BioEMEngine:
             )
             proj_f = jnp.fft.rfft2(proj)  # (O, N, F) complex — device-internal
             pr, pi = jnp.real(proj_f).astype(F32), jnp.imag(proj_f).astype(F32)
+        return pr, pi
+
+    def _block_step(self, state: PosteriorState, banks: Banks, angles, orient_offset, mask, ang_offset=None):
+        p = self.p
+        n = p.n_pixels
+        ntot = p.n_total_pixels
+
+        pr, pi = self._project_block(banks, angles)
 
         prior = ctf_prior_term(banks.amp, banks.pha, banks.env, p)  # (C,) f64
         o, c = self.o_block, self.n_ctf

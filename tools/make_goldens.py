@@ -44,9 +44,8 @@ def build_reference() -> str:
     return binary
 
 
-def write_model(path: str, rng) -> None:
-    n = 10
-    pts = rng.uniform(-6, 6, (n, 3))
+def write_model(path: str, rng, n: int = 10, spread: float = 6.0) -> None:
+    pts = rng.uniform(-spread, spread, (n, 3))
     radii = rng.uniform(1.0, 3.2, n)
     dens = rng.uniform(40, 100, n)
     with open(path, "w") as f:
@@ -158,7 +157,8 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
              quat_list: bool = False, euler_list: bool = False,
              priors: bool = False, model_kind: str = "text",
              maps_kind: str = "text", n_pix: int = 16,
-             n_list: int = 8) -> None:
+             n_list: int = 8, model_n: int = 10,
+             model_spread: float = 6.0) -> None:
     case_dir = os.path.join(OUT, name)
     os.makedirs(case_dir, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -167,7 +167,10 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
         model_kind
     ]
     if model_kind == "text":
-        write_model(os.path.join(case_dir, model_file), rng)
+        write_model(
+            os.path.join(case_dir, model_file), rng, n=model_n,
+            spread=model_spread,
+        )
     elif model_kind == "pdb":
         write_pdb(os.path.join(case_dir, model_file), rng, 10)
     else:
@@ -312,6 +315,19 @@ CTF_AMPLITUDE 0.1 0.1 1
 DISPLACE_CENTER 4 2
 """
 
+CASE_N_PARAM = """\
+# golden case N: PRODUCTION pixel count (N=224) + production-shaped grid —
+# ties the production-shape numerics (stride-folded displacement lattice,
+# 8-CTF bank) to the reference binary. Shapes match bench.py: D=21 lattice
+# at stride 2, pixel size 1.06.
+PIXEL_SIZE 1.06
+NUMBER_PIXELS 224
+CTF_B_ENV 2.0 100.0 2
+CTF_DEFOCUS 0.5 2.5 4
+CTF_AMPLITUDE 0.1 0.1 1
+DISPLACE_CENTER 20 2
+"""
+
 BESTMAP_PARAM = """\
 # golden case M: forward simulator BESTMAP (byte-compared)
 PIXEL_SIZE 1.5
@@ -377,6 +393,12 @@ def main() -> int:
     run_case(binary, "case_l_n64", CASE_L_PARAM, 2, euler_list=True, n_pix=64,
              n_list=2)
     run_bestmap_case(binary, "case_m_bestmap")
+    # Production-N golden: the double-precision row-column DFT shim makes
+    # even N=224 tractable (O(N³) per transform); 2 orientations × 8 CTFs ×
+    # 2 images keeps the reference run to ~a minute. The model is a
+    # production-extent point cloud (±60 Å in the ±118.7 Å frame).
+    run_case(binary, "case_n_n224", CASE_N_PARAM, 2, euler_list=True,
+             n_pix=224, n_list=2, model_n=40, model_spread=60.0)
     return 0
 
 
