@@ -24,7 +24,7 @@ import numpy as np
 # production N=224). At the old 536-orientation size, ~45% of wall time was
 # fixed per-dispatch overhead through the TPU tunnel — production grids
 # (reference doc/index.rst:2097-2132 uses ≥4608 orientations) amortise it.
-N_PIXELS = 224
+N_PIXELS = int(os.environ.get("BENCH_NPIX", 224))
 N_IMG = int(os.environ.get("BENCH_NIMG", 64))
 QUAT_GRID = int(os.environ.get("BENCH_QUATGRID", 15))  # → 4352 orientations
 MAX_DISP, DISP_STEP = 20, 2

@@ -62,6 +62,10 @@ class RunConfig:
     # tables + 3-pass bf16 group dots, ops/project_pallas.py). None = auto:
     # follows use_pallas (on for TPU). BIOEM_TPU_PROJ_PALLAS=0/1 forces.
     pallas_projection: Optional[bool] = None
+    # Lane-batched stage-1 in the fused kernel (4 wide matmuls per cell
+    # instead of 4 per image — see compare_pallas._fused_block_kernel_batched).
+    # BIOEM_TPU_FUSED_BATCHED=0/1 forces.
+    fused_batched: bool = False
     # Tuned fields the user pinned explicitly (env var or caller): the
     # autotuner must never override these — a cached winner re-enabling a
     # kernel the user force-disabled would violate the reference's contract
@@ -101,6 +105,9 @@ class RunConfig:
         if os.environ.get("BIOEM_TPU_PROJ_PALLAS"):
             cfg.pallas_projection = bool(int(os.environ["BIOEM_TPU_PROJ_PALLAS"]))
             forced.add("pallas_projection")
+        if os.environ.get("BIOEM_TPU_FUSED_BATCHED"):
+            cfg.fused_batched = bool(int(os.environ["BIOEM_TPU_FUSED_BATCHED"]))
+            forced.add("fused_batched")
         if os.environ.get("BIOEM_TPU_FUSED_LSE"):
             cfg.fused_lse = bool(int(os.environ["BIOEM_TPU_FUSED_LSE"]))
             forced.add("fused_lse")

@@ -569,6 +569,7 @@ class BioEMEngine:
                     a_coef=(3.0 - ntot) * 0.5,
                     img_tile=self.i_block,
                     n_fold=n_fold,
+                    batched_stage1=self.cfg.fused_batched,
                 )
                 m = m.reshape(o, c, n_img_local)
                 se = se.reshape(o, c, n_img_local)

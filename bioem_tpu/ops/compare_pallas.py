@@ -341,6 +341,107 @@ def _fused_block_kernel(
     ccs_ref[0] = ccs
 
 
+def _fused_block_kernel_batched(
+    proj_re_ref, proj_im_ref, ctf_re_ref, ctf_im_ref,
+    img_re_ref, img_im_ref,
+    au_ref, bu_ref, pos_ref,
+    a96_ref, w2_ref,
+    m_ref, se_ref, ds_ref, ccs_ref,
+    cc_scr, t2_scr, prh_scr, prl_scr, pih_scr, pil_scr,
+    *, n_fold: int, d: int, dp: int, a_coef: float,
+):
+    """Fully batched variant of the stacked body: phase A computes every
+    image's folded hi/lo cross-spectrum into (m, it·Fp) bf16 scratch
+    (Fp = F padded to 128 lanes per image), phase B runs stage 1 as FOUR
+    wide matmuls over the whole tile instead of 4·it small ones (amortising
+    per-matmul issue/drain and keeping the MXU pipeline full), phase C
+    assembles/splits t1 tile-wide, and phase D row-stacks all images'
+    stage-2 operands into ONE (it·4dp, Fp)·(Fp, 4dp) matmul (w2 arrives
+    zero-padded to Fp rows). Same arithmetic, same 3-pass bf16 accuracy as
+    _cc_tile_stacked; only the issue structure differs.
+
+    Padded-tile roofline (docs/manual.md §9): per comparison the MXU now
+    streams 4 stage-1 N-tiles + ~4dp/128 stage-2 M-tiles with every matmul
+    ≫ 128 in its streaming dim, vs 5 pipeline-latency-bound small matmuls
+    in the per-image body — the shape ceiling moves from ~66 % array fill
+    × small-matmul drain to ~the same fill with full pipelining."""
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    pr = proj_re_ref[0]  # (N, F)
+    pi = proj_im_ref[0]
+    kr = ctf_re_ref[0]
+    ki = ctf_im_ref[0]
+    cr = pr * kr + pi * ki
+    ci = pi * kr - pr * ki
+    it = img_re_ref.shape[0]
+    a96 = a96_ref[:]
+    m = a96.shape[1]
+    f = cr.shape[1]
+    fp = prh_scr.shape[1] // it
+
+    for i in range(it):
+        ir = img_re_ref[i]
+        ii = img_im_ref[i]
+        p_re = _fold(cr * ir - ci * ii, n_fold, m)
+        p_im = _fold(cr * ii + ci * ir, n_fold, m)
+        re_hi, re_lo = _split_hilo(p_re)
+        im_hi, im_lo = _split_hilo(p_im)
+        pad = ((0, 0), (0, fp - f))
+        sl = slice(i * fp, (i + 1) * fp)
+        prh_scr[:, sl] = jnp.pad(re_hi, pad)
+        prl_scr[:, sl] = jnp.pad(re_lo, pad)
+        pih_scr[:, sl] = jnp.pad(im_hi, pad)
+        pil_scr[:, sl] = jnp.pad(im_lo, pad)
+
+    th_re = dot(a96, prh_scr[:])  # (4dp, it·fp)
+    th_im = dot(a96, pih_scr[:])
+    a48 = a96[0:2 * dp]
+    tl_re = dot(a48, prl_scr[:])  # (2dp, it·fp)
+    tl_im = dot(a48, pil_scr[:])
+    t1_re = (
+        th_re[0:dp] + th_re[2 * dp:3 * dp] + tl_re[0:dp]
+        - th_im[dp:2 * dp] - th_im[3 * dp:4 * dp] - tl_im[dp:2 * dp]
+    )
+    t1_im = (
+        th_im[0:dp] + th_im[2 * dp:3 * dp] + tl_im[0:dp]
+        + th_re[dp:2 * dp] + th_re[3 * dp:4 * dp] + tl_re[dp:2 * dp]
+    )
+    r_hi, r_lo = _split_hilo(t1_re)
+    i_hi, i_lo = _split_hilo(t1_im)
+    # Stage 2, M-batched: every image's [r_hi; i_hi; r_lo; i_lo] block is
+    # row-stacked into one (it·4dp, fp) operand and contracted against the
+    # fp-row zero-padded wy stack in a single matmul (M = it·4dp ≫ 128,
+    # K = fp = 128 exactly) instead of ``it`` small (4dp, F)·(F, 4dp)
+    # products — the same amortisation phase B applies to stage 1. The
+    # zero lane padding F..fp of the t1 slabs (inherited from phase A's
+    # padded scratch) multiplies the zero rows F..fp of w2, adding nothing.
+    for i in range(it):
+        sl = slice(i * fp, (i + 1) * fp)
+        t2_scr[i * 4 * dp:(i + 1) * 4 * dp, :] = jnp.concatenate(
+            [r_hi[:, sl], i_hi[:, sl], r_lo[:, sl], i_lo[:, sl]], axis=0
+        )  # (4dp, fp)
+    o2_all = dot(t2_scr[:], w2_ref[:])  # (it·4dp, 4dp) f32
+    for i in range(it):
+        b0 = i * 4 * dp
+        cc = (
+            o2_all[b0:b0 + dp, 0:dp]
+            + o2_all[b0:b0 + dp, 2 * dp:3 * dp]
+            + o2_all[b0 + 2 * dp:b0 + 3 * dp, 0:dp]
+            - o2_all[b0 + dp:b0 + 2 * dp, dp:2 * dp]
+            - o2_all[b0 + dp:b0 + 2 * dp, 3 * dp:4 * dp]
+            - o2_all[b0 + 3 * dp:b0 + 4 * dp, dp:2 * dp]
+        )
+        cc_scr[i * dp:(i + 1) * dp, :] = cc
+
+    cc_t = jnp.transpose(cc_scr[:], (1, 0))
+    m_v, se, ds, ccs = _vector_lse(
+        cc_t, pos_ref[0], au_ref[0], bu_ref[0], a_coef, d, dp, it
+    )
+    m_ref[0] = m_v
+    se_ref[0] = se
+    ds_ref[0] = ds
+    ccs_ref[0] = ccs
+
+
 def fused_compare_block(
     proj_re: jnp.ndarray,  # (O, N, F) f32 — projection spectra
     proj_im: jnp.ndarray,
@@ -360,6 +461,7 @@ def fused_compare_block(
     n_fold: int = 1,
     interpret: bool | None = None,
     mxu_mode: str | None = None,
+    batched_stage1: bool = False,
 ):
     """Fully fused comparison block: returns (m, sumexp, d_star, cc_star),
     each (O·C, I) — the per-(orientation, ctf, image) displacement-LSE
@@ -439,10 +541,18 @@ def fused_compare_block(
         bytes_accessed=4 * 2 * (o_n + c_n * n_it + n_img * 2) * n * f,
         transcendentals=2 * oc * n_img * d * d,  # log1p + exp per lattice pt
     )
-    kern = partial(
-        _fused_block_kernel,
-        n_fold=n_fold, d=d, dp=dp, a_coef=float(a_coef), mxu_mode=mxu_mode,
-    )
+    if batched_stage1:
+        mxu_mode = "stacked"  # the batched body IS the stacked scheme
+    if batched_stage1:
+        kern = partial(
+            _fused_block_kernel_batched,
+            n_fold=n_fold, d=d, dp=dp, a_coef=float(a_coef),
+        )
+    else:
+        kern = partial(
+            _fused_block_kernel,
+            n_fold=n_fold, d=d, dp=dp, a_coef=float(a_coef), mxu_mode=mxu_mode,
+        )
     # a_u/b_u expanded across each image's dp lanes so the kernel applies
     # them as plain lane vectors; pos = lane % dp (host constant).
     def expand(x):  # (OC, I) → (OC, 1, I·dp)
@@ -459,9 +569,16 @@ def fused_compare_block(
                    expand(a_u), expand(b_u), pos)
     if mxu_mode == "stacked":
         a96, w2 = _stacked_weight_banks(wx_re, wx_im, wy_re, wy_im, d, dp)
+        w2_rows = f
+        if batched_stage1:
+            # Phase-D single matmul contracts the full fp-lane blocks of
+            # the t1 slabs; pad wy's K rows with zeros to match.
+            fp = _cdiv(f, 128) * 128
+            w2 = jnp.pad(w2, ((0, fp - f), (0, 0)))
+            w2_rows = fp
         in_specs = common + [
             pl.BlockSpec((4 * dp, m_cols), lambda it, io, ic: (ic * 0, ic * 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((f, 4 * dp), lambda it, io, ic: (ic * 0, ic * 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w2_rows, 4 * dp), lambda it, io, ic: (ic * 0, ic * 0), memory_space=pltpu.VMEM),
         ]
         args = common_args + (a96, w2)
     else:
@@ -473,6 +590,12 @@ def fused_compare_block(
         ]
         args = common_args + (wx_re, wx_im, wy_re, wy_im)
     scratch = [pltpu.VMEM((img_tile * dp, dp), jnp.float32)]
+    if batched_stage1:
+        fp = _cdiv(f, 128) * 128  # per-image lane block (128-aligned)
+        scratch += [pltpu.VMEM((img_tile * 4 * dp, fp), jnp.bfloat16)]
+        scratch += [
+            pltpu.VMEM((m_cols, img_tile * fp), jnp.bfloat16) for _ in range(4)
+        ]
     m, se, ds, ccs = pl.pallas_call(
         kern,
         grid=grid,

@@ -31,7 +31,7 @@ VMEM_BUDGET = 96 << 20  # bytes usable for the image tile + weight residents
 # reference amortises the same way by recalibrating only every
 # RECALIB_FACTOR=200 projections, defs.h:197-202).
 _CACHED_FIELDS = ("orient_block", "image_block", "use_pallas",
-                  "pallas_img_tile", "fused_lse")
+                  "pallas_img_tile", "fused_lse", "fused_batched")
 
 
 def _cache_path() -> str:
@@ -142,18 +142,29 @@ def default_candidates(cfg: RunConfig, p=None, n_img: int = 0) -> List[RunConfig
         # Mosaic lane rule: a fused-LSE block's lane count (tile · dp) must
         # be 128-divisible unless the tile covers the whole image bank.
         dp = (-(-p.nx_disp // 8) * 8) if p is not None else 8
+        batched_variants = (
+            (cfg.fused_batched,)
+            if "fused_batched" in forced
+            else (False, True)
+        )
         for o_block in o_blocks:
             for fused_lse in lse_variants:
                 for t in tiles:
                     if fused_lse and t != n_img and (t * dp) % 128:
                         continue
-                    cands.append(
-                        replace(
-                            cfg, autotune=False, use_pallas=True,
-                            orient_block=o_block,
-                            pallas_img_tile=t, fused_lse=fused_lse,
+                    for fb in batched_variants:
+                        if fb and not fused_lse:
+                            # the batched body exists only in the fused-LSE
+                            # kernel (compare_pallas._fused_block_kernel_batched)
+                            continue
+                        cands.append(
+                            replace(
+                                cfg, autotune=False, use_pallas=True,
+                                orient_block=o_block,
+                                pallas_img_tile=t, fused_lse=fused_lse,
+                                fused_batched=fb,
+                            )
                         )
-                    )
     else:
         o_blocks = (
             (cfg.orient_block,) if "orient_block" in forced else (4, 8, 16)

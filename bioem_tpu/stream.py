@@ -218,6 +218,7 @@ def run_streaming(
 
     with ThreadPoolExecutor(max_workers=1) as pool:
         pending = None
+        banks_next = None
         for ci, (start, stop) in enumerate(spans):
             if eng is None:
                 # First chunk is read fully on every process: engine
@@ -227,17 +228,13 @@ def run_streaming(
                 eng = make_engine(p, orients, model, ImageStack(maps), cfg)
                 banks = eng.banks
             else:
-                fields = (
-                    pending.result()
-                    if pending is not None
-                    else _prepare(start, stop)
+                banks = (
+                    banks_next
+                    if banks_next is not None
+                    else eng._place_banks(_prepare(start, stop))
                 )
-                banks = eng._place_banks(fields)
-            pending = (
-                pool.submit(_prepare, *spans[ci + 1])
-                if ci + 1 < len(spans)
-                else None
-            )
+            if ci + 1 < len(spans) and pending is None:
+                pending = pool.submit(_prepare, *spans[ci + 1])
             ckpt = (
                 f"{cfg.checkpoint_path}.chunk{ci}" if cfg.checkpoint_path else None
             )
@@ -247,6 +244,20 @@ def run_streaming(
                 bank_tag=f"images[{start}:{stop}]",
                 checkpoint_path=ckpt,
             )
+            # run() dispatches the device scan asynchronously; while it
+            # executes, finish the next chunk's host precompute AND its
+            # device placement — H2D now rides under chunk ci's compute
+            # (the reference's async pipeline does the same with
+            # cudaMemcpyAsync + events, bioem_cuda.cu:527-566). Two chunk
+            # banks are resident during the overlap; results() below is the
+            # only synchronisation point.
+            if ci + 1 < len(spans):
+                banks_next = eng._place_banks(pending.result())
+                pending = (
+                    pool.submit(_prepare, *spans[ci + 2])
+                    if ci + 2 < len(spans)
+                    else None
+                )
             parts.append(eng.results(state, n_img=stop - start))
             dt = time.perf_counter() - t0
             perf["run_s"] += dt

@@ -181,3 +181,52 @@ def test_engine_fused_lse_matches_xla(rng):
     np.testing.assert_allclose(r_fl.best_norm, r_ref.best_norm, rtol=1e-5)
 
 
+def test_fused_batched_stage1_matches_loop(rng):
+    """Lane-batched stage-1 variant must reproduce the per-image stacked
+    body bit-comparably (same 3-pass bf16 arithmetic, reorganised issue
+    structure)."""
+    from bioem_tpu.ops.compare_pallas import fused_compare_block
+
+    o, c, i_n, n, d = 2, 2, 4, 16, 5
+    f = n // 2 + 1
+    a = rng.normal(0, 1, (o, n, f)).astype(np.float32)
+    b = rng.normal(0, 1, (o, n, f)).astype(np.float32)
+    cr = rng.normal(0, 1, (c, n, f)).astype(np.float32)
+    cim = rng.normal(0, 1, (c, n, f)).astype(np.float32)
+    ir = rng.normal(0, 1, (i_n, n, f)).astype(np.float32)
+    ii = rng.normal(0, 1, (i_n, n, f)).astype(np.float32)
+    wxr = rng.normal(0, 1, (d, n)).astype(np.float32)
+    wxi = rng.normal(0, 1, (d, n)).astype(np.float32)
+    wyr = rng.normal(0, 1, (d, f)).astype(np.float32)
+    wyi = rng.normal(0, 1, (d, f)).astype(np.float32)
+    au = np.abs(rng.normal(0, 1e-4, (o * c, i_n))).astype(np.float32)
+    bu = np.abs(rng.normal(0, 1e-6, (o * c, i_n))).astype(np.float32)
+
+    kw = dict(a_coef=-3.0, img_tile=2, interpret=True, mxu_mode="stacked")
+    ref = fused_compare_block(
+        a, b, cr, cim, ir, ii, wxr, wxi, wyr, wyi, au, bu, **kw
+    )
+    bat = fused_compare_block(
+        a, b, cr, cim, ir, ii, wxr, wxi, wyr, wyi, au, bu,
+        batched_stage1=True, **kw
+    )
+    for r, x in zip(ref, bat):
+        np.testing.assert_allclose(np.asarray(r), np.asarray(x), rtol=1e-6, atol=1e-6)
+
+
+def test_engine_fused_batched_matches_xla(rng):
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    eng_ref = BioEMEngine(p, orients, model, images, RunConfig(orient_block=2))
+    eng_fb = BioEMEngine(
+        p, orients, model, images,
+        RunConfig(orient_block=2, use_pallas=True, pallas_img_tile=2,
+                  fused_lse=True, fused_batched=True, pallas_projection=False),
+    )
+    r_ref = eng_ref.results(eng_ref.run())
+    r_fb = eng_fb.results(eng_fb.run())
+    np.testing.assert_allclose(r_fb.log_prob, r_ref.log_prob, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(r_fb.best_orient, r_ref.best_orient)
+    np.testing.assert_array_equal(r_fb.best_cent_x, r_ref.best_cent_x)

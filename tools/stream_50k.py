@@ -67,7 +67,11 @@ def main():
     from bioem_tpu.utils.so3 import super_fibonacci
 
     p, _, model, _ = build_problem()
-    n_orient = int(os.environ.get("BENCH_NORIENT", 64))
+    # Default 4608 (the reference's production list size,
+    # doc/index.rst:2097-2132): at 64 orientations the per-chunk fixed scan
+    # cost dominates and the streamed rate underclaims the engine by ~100×
+    # (round-3 BENCH_STREAM lesson) — a production grid amortises it.
+    n_orient = int(os.environ.get("BENCH_NORIENT", 4608))
     q = super_fibonacci(n_orient).astype(np.float64)
     orients = OrientationSet(
         angles=q, use_quaternions=True, voluang=1.0 / n_orient, priors=None
