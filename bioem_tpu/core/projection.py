@@ -349,12 +349,29 @@ def fourier_epilogue(
     st_re: jnp.ndarray,
     st_im: jnp.ndarray,
     st_sums: jnp.ndarray,
+    signed_rows: bool = False,
 ):
     """Radius-group contraction shared by the snapped (grid-engine) and
     smooth (refine.py) prologues: spectrum = Σ_g stencilDFT_g ⊙
-    Σ_p dens_p·e^{i(θx_p k1 + θy_p k2)}, density-renormalised."""
+    Σ_p dens_p·e^{i(θx_p k1 + θy_p k2)}, density-renormalised.
+
+    ``signed_rows``: row frequencies as signed integers (−N/2, N/2]. At the
+    snapped path's INTEGER pixel positions both conventions are identical
+    (e^{iθk} is k-periodic mod N there), so the grid engine keeps the raw
+    0..N−1 layout (bit-stable vs the Pallas projection kernel's power
+    tables). The smooth path MUST use signed rows: with raw indices a
+    fractional point position breaks the spectrum's Hermitian row symmetry
+    — the "projection" acquires Nyquist-scale ringing, the surrogate
+    posterior ripples at subpixel scale, and an image synthesised from it
+    is unphysical (measured: the grid argmax lands ~π away from the
+    planted orientation)."""
     n = fspec.n_pixels
-    k1 = jnp.arange(n, dtype=jnp.float32)
+    if signed_rows:
+        k1 = jnp.asarray(
+            (np.arange(n) + n // 2) % n - n // 2, dtype=jnp.float32
+        )
+    else:
+        k1 = jnp.arange(n, dtype=jnp.float32)
     k2 = jnp.arange(n // 2 + 1, dtype=jnp.float32)
     ax = theta_x[:, None] * k1[None, :]  # (P, N)
     ay = theta_y[:, None] * k2[None, :]  # (P, F)

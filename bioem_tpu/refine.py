@@ -183,9 +183,18 @@ def _cc_at(
     d: jnp.ndarray,  # (2,) f64 continuous displacement (pixels)
 ) -> jnp.ndarray:
     """Re(Σ P·e^{i2π(n'·dx + f·dy)/N}) — the cross-correlation at a
-    continuous displacement (cf. displacement_cc's lattice matmuls)."""
+    continuous displacement (cf. displacement_cc's lattice matmuls).
+
+    Row frequencies must be SIGNED for non-integer d: with raw 0..N−1
+    indices the interpolant still passes through the correct integer-shift
+    values (e^{i2πkd/N} is k-periodic at integer d) but oscillates at the
+    Nyquist scale between them — a subpixel-shifted real image (the
+    simulator-closure test, or any real particle) would drive the Newton
+    polish into wrap artifacts. Signed frequencies give the band-limited
+    interpolation, i.e. the true continuous cross-correlation."""
     nf = n // 2 + 1
-    phx = 2.0 * jnp.pi * jnp.arange(n, dtype=F64) * d[0] / n
+    kx = (jnp.arange(n, dtype=F64) + n // 2) % n - n // 2
+    phx = 2.0 * jnp.pi * kx * d[0] / n
     phy = 2.0 * jnp.pi * jnp.arange(nf, dtype=F64) * d[1] / n
     cx, sx = jnp.cos(phx), jnp.sin(phx)
     cy, sy = jnp.cos(phy), jnp.sin(phy)
@@ -215,6 +224,7 @@ def _logpro_smooth(theta, consts, static):
     proj_re, proj_im = fourier_epilogue(
         static["fspec"], th_x, th_y, static["dens"], static["norm_den"],
         static["st_re"], static["st_im"], static["st_sums"],
+        signed_rows=True,  # continuous positions need signed frequencies
     )
     pha = consts["pha0"] + theta["dctf"][0].astype(F32)
     # Clamp the refined envelope to stay physical: env <= 0 would turn

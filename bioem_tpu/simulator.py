@@ -132,6 +132,14 @@ def write_best_map(
     vals = res.conv_map.astype(np.float32) * norm + off
     noise = None
     if bp.with_noise:
+        # WITHNOISE parity note: the reference seeds MT19937 from
+        # std::time(0) (bioem.cpp:1993-1997), so even two reference runs
+        # produce different noise — bit-comparison of WITHNOISE output is
+        # impossible BY THE REFERENCE'S OWN DESIGN. What is reproducible is
+        # the distribution: MTRand::randNorm draws N(0, stnoise) via
+        # polar-form Box-Muller (MersenneTwister.h:343); NumPy's Generator
+        # draws the same distribution (and, unlike the reference, can be
+        # seeded deterministically by the caller for regression tests).
         rng = rng or np.random.default_rng()
         noise = rng.normal(0.0, bp.noise_std, size=(n, n))
         vals = (vals + noise).astype(np.float32)

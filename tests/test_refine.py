@@ -63,7 +63,8 @@ def _synth_image(engine, rot_star, ctf_idx, d_star, rng, noise_sigma=0.0):
         jnp.asarray(rot_star, jnp.float32), b.points, b.radii,
     )
     pr, pi = fourier_epilogue(
-        engine.fspec, th_x, th_y, b.dens, b.norm_den, b.st_re, b.st_im, b.st_sums
+        engine.fspec, th_x, th_y, b.dens, b.norm_den, b.st_re, b.st_im,
+        b.st_sums, signed_rows=True,
     )
     ctf = smooth_ctf_spectrum(
         n, p.pixel_size, p.use_psf,
@@ -71,7 +72,8 @@ def _synth_image(engine, rot_star, ctf_idx, d_star, rng, noise_sigma=0.0):
     )
     spec = (np.asarray(pr) + 1j * np.asarray(pi)) * np.asarray(ctf)
     nf = n // 2 + 1
-    k1 = np.arange(n)[:, None]
+    # signed row frequencies: a true subpixel shift of a real image
+    k1 = ((np.arange(n) + n // 2) % n - n // 2)[:, None]
     k2 = np.arange(nf)[None, :]
     spec = spec * np.exp(-2j * np.pi * (k1 * d_star[0] + k2 * d_star[1]) / n)
     img = np.fft.irfft2(spec, s=(n, n)).astype(np.float64)
@@ -134,7 +136,10 @@ def test_gradient_matches_finite_difference(rng):
         [0.05, -0.03, 0.02, 0.4, -0.3, 0.01, 0.5], jnp.float64
     )
     g = np.asarray(jax.grad(f)(vec0))
-    eps = 1e-5
+    # eps balances truncation vs f32 cancellation noise: at 1e-5 the FD
+    # quotient is noise-limited (~13% worst component, measured), at 1e-4
+    # all 7 components sit under 1%.
+    eps = 1e-4
     for k in range(7):
         e = np.zeros(7)
         e[k] = eps
@@ -156,7 +161,12 @@ def test_exp_so3_gradient_finite_at_zero():
 
 
 def test_planted_recovery_refines(rng):
-    p = _params()
+    # Gentle CTF (defocus 0.3-0.7 um): at the _params default 0.6-1.4 the
+    # kernel oscillates ~15 periods across the band at N=24, the convolved
+    # projections turn texture-like and the grid match is quasi-degenerate
+    # (measured: a ~pi-away orientation wins by <20 log-units). The planted
+    # basin must be well-posed for a recovery test to mean anything.
+    p = _params(start_defocus=0.3, end_defocus=0.7)
     orients = build_orientations(p)
     model = tiny_model(rng, n_points=10)
     # Planted rotation: a grid rotation perturbed by |ω| ≈ 0.08 rad —
@@ -236,7 +246,8 @@ def test_refine_ctf_improves_phase(rng):
         b.points, b.radii,
     )
     pr, pi = fourier_epilogue(
-        boot.fspec, th_x, th_y, b.dens, b.norm_den, b.st_re, b.st_im, b.st_sums
+        boot.fspec, th_x, th_y, b.dens, b.norm_den, b.st_re, b.st_im,
+        b.st_sums, signed_rows=True,
     )
     ctf = smooth_ctf_spectrum(
         n, p.pixel_size, False, b.amp[0], jnp.asarray(pha_star, jnp.float32),
@@ -288,3 +299,101 @@ def test_refine_on_mesh_engine(rng):
     np.testing.assert_allclose(
         np.linalg.norm(out.quaternion, axis=1), 1.0, atol=1e-6
     )
+
+
+def test_simulator_closure_recovery(rng):
+    """Close the validation loop with the SIMULATOR (VERDICT r3 next #8).
+
+    The forward model here is bioem_tpu.simulator.synthesize_best_map —
+    the independent NumPy raster+CTF path of --PrintBestCalMap
+    (reference bioem.cpp:1925-2085), NOT refine's own smooth surrogate —
+    planted at jointly off-grid (orientation, fractional displacement,
+    CTF phase) with WITHNOISE-style Gaussian noise. The grid engine +
+    refine must recover every parameter to better than its grid spacing.
+    """
+    from bioem_tpu.core.orientations import rotation_matrices
+    from bioem_tpu.params import BestParams
+    from bioem_tpu.refine import _rotmat_to_quaternion
+    from bioem_tpu.simulator import synthesize_best_map
+
+    p = _params(
+        n_pixels=48,
+        pixel_size=1.5,
+        use_quaternions=True,
+        grid_points_quaternion=3,
+        max_displace_center=6,
+        grid_space_center=2,
+        # gentle CTF: see test_planted_recovery_refines
+        start_defocus=0.3,
+        end_defocus=0.7,
+    )
+    orients = build_orientations(p)
+    model = tiny_model(rng, n_points=10)
+
+    # Plant: grid orientation 5 perturbed by |w| ~ 0.22 rad (beyond the
+    # raster-vs-smooth model bias of ~0.1 rad at this N, well inside the
+    # ~1 rad ball-grid spacing); fractional displacement off the stride-2
+    # integer lattice; phase midway between the two grid defoci.
+    base = np.asarray(
+        rotation_matrices(jnp.asarray(orients.angles[5]), True), np.float64
+    )
+    rot_star = np.asarray(exp_so3(jnp.asarray([0.15, -0.12, 0.10]))) @ base
+    q_star = _rotmat_to_quaternion(rot_star[None])[0]
+    d_star = np.array([2.6, -4.4])
+
+    boot = BioEMEngine(
+        p, orients, model, tiny_images(rng, 1, p.n_pixels),
+        RunConfig(orient_block=4),
+    )
+    grid_pha = np.asarray(boot.banks.pha)
+    pha_star = float(0.5 * (grid_pha[0] + grid_pha[1]))
+    bp = BestParams(
+        pixel_size=p.pixel_size,
+        n_pixels=p.n_pixels,
+        use_quaternions=True,
+        orient=tuple(q_star),
+        amp=float(boot.banks.amp[0]),
+        phase=pha_star,
+        env=float(boot.banks.env[0]),
+    )
+    res_sim = synthesize_best_map(bp, model)
+
+    n = p.n_pixels
+    nf = n // 2 + 1
+    spec = np.fft.rfft2(res_sim.conv_map)
+    # signed row frequencies: a true subpixel shift of the real image
+    k1 = ((np.arange(n) + n // 2) % n - n // 2)[:, None]
+    k2 = np.arange(nf)[None, :]
+    spec = spec * np.exp(-2j * np.pi * (k1 * d_star[0] + k2 * d_star[1]) / n)
+    img = np.fft.irfft2(spec, s=(n, n))
+    img = img + rng.normal(0.0, 0.05 * img.std(), img.shape)
+    img = (img - img.mean()) / img.std()
+    images = ImageStack(img[None].astype(np.float32))
+
+    eng = BioEMEngine(p, orients, model, images, RunConfig(orient_block=4))
+    res = eng.results(eng.run())
+    out = refine_results(eng, res, refine_ctf=True)
+
+    seed_rot = np.asarray(
+        rotation_matrices(
+            jnp.asarray(orients.angles[res.best_orient[0]]), True
+        ),
+        np.float64,
+    )
+    ang_seed = _angular_error(seed_rot, rot_star)
+    ang_ref = _angular_error(out.rotmat[0], rot_star)
+    seed_d = np.hypot(
+        res.best_cent_x[0] - d_star[0], res.best_cent_y[0] - d_star[1]
+    )
+    ref_d = np.hypot(out.cent_x[0] - d_star[0], out.cent_y[0] - d_star[1])
+    seed_pha = float(grid_pha[res.best_conv[0]])
+
+    assert out.logpro_refined[0] >= out.logpro_seed[0]
+    assert ang_ref < ang_seed, (ang_ref, ang_seed)
+    # absolute bar: the independent raster forward model carries ~0.1 rad
+    # of smooth-surrogate bias at this N; 0.18 still beats the ~1 rad ball
+    # grid spacing by 5x
+    assert ang_ref < 0.18, ang_ref
+    assert ref_d < seed_d, (ref_d, seed_d)
+    assert ref_d < 1.0  # beats the stride-2 lattice
+    assert abs(out.pha[0] - pha_star) < abs(seed_pha - pha_star)

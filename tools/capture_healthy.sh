@@ -1,0 +1,81 @@
+#!/bin/bash
+# One-shot healthy-device evidence capture (round-4 plan).
+#
+# The TPU behind the tunnel degrades unpredictably (round-3 incident:
+# BENCH_AB.json); when tools/tpu_health.py reads healthy again, run this
+# script ONCE — it captures, in priority order, everything the round needs
+# from a healthy chip, each step health-gated by bench.py itself so a
+# mid-capture degradation aborts with an explicit error instead of
+# recording garbage:
+#
+#   1. official bench (autotuned)            -> BENCH_HEALTHY.json
+#   2. kernel A/B: per-image vs batched body -> BENCH_AB_r04.json rows
+#   3. streaming at the 4608-orientation production grid -> BENCH_STREAM_r04
+#
+# Usage: tools/capture_healthy.sh   (from the repo root)
+set -u
+cd "$(dirname "$0")/.."
+TS=$(date -u +%Y%m%dT%H%M%S)
+echo "== pre-capture health probe =="
+tools/with_tpu.sh python tools/tpu_health.py || exit 1
+
+append_row() { # name, file-with-json-line
+  python3 -c '
+import json, sys
+name, path = sys.argv[1], sys.argv[2]
+line = [l for l in open(path) if l.strip().startswith("{")][-1]
+rec = json.loads(line)
+rec["_row"] = name
+rec["_utc"] = sys.argv[3]
+try:
+    rows = json.load(open("BENCH_AB_r04.json"))
+except Exception:
+    rows = []
+rows.append(rec)
+json.dump(rows, open("BENCH_AB_r04.json", "w"), indent=1)
+print(name, "->", rec.get("value"), "cmp/s, health", rec.get("device_health_tflops"))
+' "$1" "$2" "$TS"
+}
+
+run_bench() { # name, env assignments...
+  local name=$1; shift
+  echo "== $name =="
+  tools/with_tpu.sh env BENCH_REPEATS=3 "$@" python bench.py > /tmp/bench_row.out 2>&1
+  local rc=$?
+  tail -3 /tmp/bench_row.out
+  [ $rc -ne 0 ] && { echo "bench failed/health-gated for $name"; return 1; }
+  append_row "$name" /tmp/bench_row.out
+}
+
+# 1. Official autotuned record (delete any degraded-regime tune cache first —
+#    winners tuned on a sick device are poisoned).
+rm -f .bioem_tpu_autotune.json
+run_bench "autotuned" || exit 1
+cp /tmp/bench_row.out /tmp/bench_healthy.out
+python3 -c '
+import json
+line = [l for l in open("/tmp/bench_healthy.out") if l.strip().startswith("{")][-1]
+json.dump(json.loads(line), open("BENCH_HEALTHY.json", "w"), indent=1)
+'
+
+# 2. Pinned A/B matrix (no autotune; round-3 winner config as the baseline row).
+run_bench "per-image tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
+  BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=0 BIOEM_TPU_PALLAS_IMG_TILE=64
+run_bench "batched tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
+  BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=1 BIOEM_TPU_PALLAS_IMG_TILE=64
+run_bench "batched tile32" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
+  BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=1 BIOEM_TPU_PALLAS_IMG_TILE=32
+run_bench "batched tile64 ob8" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=8 \
+  BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=1 BIOEM_TPU_PALLAS_IMG_TILE=64
+run_bench "hybrid-lse tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
+  BIOEM_TPU_FUSED_LSE=0 BIOEM_TPU_PALLAS_IMG_TILE=64
+
+# 3. Honest streaming evidence: 4608-orientation grid, 10k images
+#    (~8 min at the healthy 5.75M cmp/s rate; re-run with 50000 if time allows).
+echo "== streaming 10k x 4608 =="
+tools/with_tpu.sh env BENCH_NORIENT=4608 python tools/stream_50k.py 10240 1024 \
+  2>&1 | tail -2 | tee BENCH_STREAM_r04.json
+
+echo "== post-capture health probe =="
+tools/with_tpu.sh python tools/tpu_health.py
+echo "capture complete: BENCH_HEALTHY.json BENCH_AB_r04.json BENCH_STREAM_r04.json"
