@@ -52,6 +52,7 @@ from .posterior import (
     init_state,
     logpro_constants,
     merge_block,
+    stride_fold,
 )
 from .projection import (
     ProjectionSpec,
@@ -537,11 +538,7 @@ class BioEMEngine:
                 sum_c, ssq_c, banks.sum_ref, banks.ssq_ref, prior_oc, ntot,
                 images_normalized=self._f32_corr_ok,
             )
-            # Stride-fold: displacements are multiples of the lattice stride
-            # s, so when s | N the wx weights have period N/s and the kernel
-            # folds p rows before the matmul (s× fewer MXU flops).
-            s = p.grid_space_center
-            n_fold = s if (s > 1 and n % s == 0) else 1
+            n_fold = stride_fold(p.grid_space_center, n, self.disp)
             d = self.disp.shape[0]
             # The fused kernel's in-kernel LSE is f32-only (no f64 on the
             # Mosaic data path); DC-dominated image banks need the f64 u

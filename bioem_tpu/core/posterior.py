@@ -63,6 +63,22 @@ def hermitian_weights(n: int) -> np.ndarray:
     return h
 
 
+def stride_fold(stride: int, n: int, disp: np.ndarray) -> int:
+    """Fold factor for the Pallas kernels' wx weights.
+
+    The fold sums p rows j and j + k·N/s before the stage-1 matmul, which
+    is valid only when wx[d, j] = e^{2πi·j·disp_d/N} has period N/s in j —
+    i.e. s | N AND every displacement is a multiple of s. The second
+    condition is NOT implied by the sweep definition: the reference's
+    −maxD..maxD stride-s sweep (bioem_algorithm.h:156-197) yields
+    non-multiples whenever maxD % s != 0 (e.g. maxD=5, s=3 → {−5,−2,1,4});
+    folding there corrupted cc by ~1e-1 log-units (caught by the round-4
+    random-corner sweep)."""
+    if stride > 1 and n % stride == 0 and (np.asarray(disp) % stride == 0).all():
+        return stride
+    return 1
+
+
 def displacement_dft_weights(n: int, disp: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """DFT weight matrices evaluating the inverse FFT at the displacement lattice.
 

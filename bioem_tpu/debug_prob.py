@@ -76,8 +76,9 @@ def _block_logpro(engine, banks, angles, img_re, img_im, sref, ssref, kernel):
         )
         conv_re = pr[:, None] * banks.ctf_re[None] + pi[:, None] * banks.ctf_im[None]
         conv_im = pi[:, None] * banks.ctf_re[None] - pr[:, None] * banks.ctf_im[None]
-        s = p.grid_space_center
-        n_fold = s if (s > 1 and n % s == 0) else 1
+        from .core.posterior import stride_fold
+
+        n_fold = stride_fold(p.grid_space_center, n, np.asarray(engine.disp))
         cc = fused_displacement_cc(
             conv_re.reshape(o * c, n, p.n_fft_1d),
             conv_im.reshape(o * c, n, p.n_fft_1d),

@@ -164,3 +164,24 @@ def test_cli_refine_flag(workdir):
         assert lp_ref >= lp_seed
         q = np.array([float(t) for t in toks[7:11]])
         np.testing.assert_allclose(np.linalg.norm(q), 1.0, atol=1e-6)
+
+
+def test_refine_skipped_multihost(workdir, monkeypatch, capsys):
+    """--Refine in a multi-host run must skip loudly, not crash after the
+    main compute (advisor r3: refine_results raises NotImplementedError
+    when process_count > 1)."""
+    import jax
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    rc = cli.main(
+        [
+            "--Modelfile", "model.txt", "--Particlesfile", "particles.txt",
+            "--Inputfile", "param.txt", "--OutputFile", "out_mh.txt",
+            "--Refine",
+        ]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "skipping refinement" in out
+    assert os.path.exists("out_mh.txt")
+    assert not os.path.exists("Output_Refined")

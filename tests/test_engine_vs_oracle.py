@@ -152,3 +152,69 @@ def test_dc_dominated_unnormalized_images_match_oracle(rng):
     assert eng0._f32_corr_ok
     with pytest.raises(ValueError, match="DC-dominated"):
         eng0.swap_images(maps)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3, 4, 5])
+def test_random_config_corners(seed):
+    """Property sweep: randomly sampled parameter-space corners must match
+    the oracle. Deliberately includes shapes no other test pins: odd N,
+    displacement strides that do not divide N (disables the kernel's
+    stride-fold), NON-SYMMETRIC displacement sets (max_disp % stride != 0,
+    e.g. {-5,-2,1,4} — reference doRefMapFFT sweeps -maxD..maxD in stride
+    steps with no symmetry guarantee, bioem_algorithm.h:156-197), SHIFT_X/Y,
+    and both CTF/PSF modes."""
+    rng = np.random.default_rng(1000 + seed)
+    n = int(rng.choice([11, 12, 15, 16]))
+    stride = int(rng.choice([1, 2, 3]))
+    max_d = int(rng.choice([2, 3, 5]))
+    use_psf = bool(rng.choice([False, True]))
+    kw = dict(
+        n_pixels=n,
+        pixel_size=float(rng.uniform(1.2, 2.0)),
+        max_displace_center=max_d,
+        grid_space_center=stride,
+        shift_x=int(rng.choice([0, 1])),
+        shift_y=int(rng.choice([0, 1])),
+        grid_points_alpha=2,
+        grid_points_beta=2,
+    )
+    if use_psf:
+        # real-space PSF values (no defocus conversion — see test_psf_mode)
+        kw.update(
+            use_psf=True,
+            n_amp=1, start_amp=0.2, end_amp=0.2,
+            start_phase=0.2, end_phase=0.6, n_phase=2,
+            start_env=0.05, end_env=0.2, n_env=2,
+        )
+        p = tiny_params(**kw)
+        p._finalized = True
+        oracle, res = _run_both(p, np.random.default_rng(2000 + seed), n_img=2)
+        np.testing.assert_allclose(res.log_prob, oracle.log_prob, atol=2e-3)
+        np.testing.assert_array_equal(res.best_orient, oracle.max_orient)
+        return
+    p = tiny_params(**kw)
+    oracle, res = _run_both(p, rng, n_img=2)
+    np.testing.assert_allclose(res.log_prob, oracle.log_prob, atol=2e-4)
+    np.testing.assert_array_equal(res.best_orient, oracle.max_orient)
+    np.testing.assert_array_equal(res.best_cent_x, oracle.max_cent_x)
+    np.testing.assert_array_equal(res.best_cent_y, oracle.max_cent_y)
+
+    # Same corner through the Pallas kernel (interpret mode): the fold /
+    # padding / tie-breaking logic must hold across the whole sampled
+    # space, not just the shapes the dedicated pallas tests pin.
+    orients = build_orientations(p)
+    model = tiny_model(np.random.default_rng(999))
+    images = tiny_images(np.random.default_rng(999), 2, p.n_pixels)
+    eng_p = BioEMEngine(
+        p, orients, model, images,
+        RunConfig(orient_block=3, use_pallas=True, fused_lse=False,
+                  pallas_img_tile=2, pallas_projection=False),
+    )
+    eng_x = BioEMEngine(
+        p, orients, model, images, RunConfig(orient_block=3, use_pallas=False)
+    )
+    rp = eng_p.results(eng_p.run())
+    rx = eng_x.results(eng_x.run())
+    np.testing.assert_allclose(rp.log_prob, rx.log_prob, atol=2e-4)
+    np.testing.assert_array_equal(rp.best_cent_x, rx.best_cent_x)
+    np.testing.assert_array_equal(rp.best_cent_y, rx.best_cent_y)

@@ -230,3 +230,37 @@ def test_engine_fused_batched_matches_xla(rng):
     np.testing.assert_allclose(r_fb.log_prob, r_ref.log_prob, rtol=0, atol=1e-4)
     np.testing.assert_array_equal(r_fb.best_orient, r_ref.best_orient)
     np.testing.assert_array_equal(r_fb.best_cent_x, r_ref.best_cent_x)
+
+
+def test_stride_fold_requires_multiple_displacements(rng):
+    """maxD % stride != 0 gives displacements that are NOT multiples of the
+    stride ({-5,-2,1,4} at maxD=5 s=3); folding the wx rows there is
+    invalid and corrupted cc by ~1e-1 log-units (round-4 corner-sweep
+    catch). The Pallas path must agree with XLA on such lattices."""
+    from bioem_tpu.core.posterior import stride_fold
+
+    assert stride_fold(3, 15, np.array([0, 3, -5, -2])) == 1
+    assert stride_fold(2, 16, np.array([-4, -2, 0, 2, 4])) == 2
+    assert stride_fold(2, 15, np.array([-4, -2, 0, 2, 4])) == 1  # 2 ∤ 15
+
+    p = tiny_params(
+        n_pixels=15, max_displace_center=5, grid_space_center=3,
+        grid_points_alpha=2, grid_points_beta=2,
+    )
+    orients = build_orientations(p)
+    model = tiny_model(rng)
+    images = tiny_images(rng, 2, p.n_pixels)
+    r_x = BioEMEngine(
+        p, orients, model, images, RunConfig(orient_block=3, use_pallas=False)
+    )
+    rx = r_x.results(r_x.run())
+    for fused in (False, True):
+        r_p = BioEMEngine(
+            p, orients, model, images,
+            RunConfig(orient_block=3, use_pallas=True, fused_lse=fused,
+                      pallas_img_tile=2, pallas_projection=False),
+        )
+        rp = r_p.results(r_p.run())
+        np.testing.assert_allclose(rp.log_prob, rx.log_prob, atol=2e-4)
+        np.testing.assert_array_equal(rp.best_cent_x, rx.best_cent_x)
+        np.testing.assert_array_equal(rp.best_cent_y, rx.best_cent_y)
