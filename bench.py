@@ -132,32 +132,37 @@ def bench_numpy_baseline(p, orients, model, images):
     proj_fft = np.fft.rfft2(proj)
 
     n_sample = min(BASELINE_SAMPLE_OC, grid.n)
-    t0 = time.perf_counter()
-    for c in range(n_sample):
-        conv = proj_fft * np.conj(bank[c])
-        s_c = conv[0, 0].real
-        ss_c = np.sum(np.abs(conv[:, 1:-1]) ** 2) * 2 + np.sum(
-            np.abs(conv[:, [0, -1]]) ** 2
-        )
-        ss_c /= ntot
-        cc_full = np.fft.irfft2(conv[None] * img_fft_c, s=(n, n))  # (I, N, N)
-        cc = cc_full[:, cent][:, :, cent]  # (I, D, D)
-        forlog = ss_c * ntot - s_c * s_c
-        firstele = (
-            ntot * (ssref[:, None, None] * ss_c - cc * cc)
-            + 2 * sref[:, None, None] * s_c * cc
-            - ssref[:, None, None] * s_c * s_c
-            - sref[:, None, None] ** 2 * ss_c
-        )
-        logpro = (3 - ntot) * 0.5 * np.log(firstele) + (ntot * 0.5 - 2) * np.log(
-            (ntot - 2) * forlog
-        )
-        mx = logpro.max(axis=(1, 2))
-        np.exp(logpro - mx[:, None, None]).sum(axis=(1, 2))
-    dt = time.perf_counter() - t0
+    # Best-of-2 passes: the baseline is timed on a (possibly contended)
+    # host CPU — a single pass can be several× slow and would inflate
+    # vs_baseline arbitrarily between otherwise-identical runs.
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        for c in range(n_sample):
+            conv = proj_fft * np.conj(bank[c])
+            s_c = conv[0, 0].real
+            ss_c = np.sum(np.abs(conv[:, 1:-1]) ** 2) * 2 + np.sum(
+                np.abs(conv[:, [0, -1]]) ** 2
+            )
+            ss_c /= ntot
+            cc_full = np.fft.irfft2(conv[None] * img_fft_c, s=(n, n))  # (I, N, N)
+            cc = cc_full[:, cent][:, :, cent]  # (I, D, D)
+            forlog = ss_c * ntot - s_c * s_c
+            firstele = (
+                ntot * (ssref[:, None, None] * ss_c - cc * cc)
+                + 2 * sref[:, None, None] * s_c * cc
+                - ssref[:, None, None] * s_c * s_c
+                - sref[:, None, None] ** 2 * ss_c
+            )
+            logpro = (3 - ntot) * 0.5 * np.log(firstele) + (
+                ntot * 0.5 - 2
+            ) * np.log((ntot - 2) * forlog)
+            mx = logpro.max(axis=(1, 2))
+            np.exp(logpro - mx[:, None, None]).sum(axis=(1, 2))
+        best = min(best, time.perf_counter() - t0)
     comparisons_sampled = n_sample * len(maps)
     ncores = os.cpu_count() or 1
-    return comparisons_sampled / dt * ncores
+    return comparisons_sampled / best * ncores
 
 
 MXU_PEAKS_TFLOPS = {  # bf16 MXU peak per chip, TFLOP/s
@@ -363,7 +368,42 @@ def gate_device_health():
     return health, threshold, False
 
 
+def _arm_watchdog():
+    """Force-exit with an explicit record if the bench wedges.
+
+    The axon tunnel can wedge globally (every device op blocks forever in
+    a futex wait — observed repeatedly in round 4, DEVICE_HEALTH_r04.json).
+    A signal cannot interrupt that native wait, so a daemon thread
+    hard-exits after BENCH_WATCHDOG_S (default 1800 s — far above the
+    ~6 min of a healthy autotuned run incl. compiles) with a JSON error
+    line instead of hanging the caller indefinitely."""
+    import threading
+
+    budget = float(os.environ.get("BENCH_WATCHDOG_S", 1800))
+    if budget <= 0:
+        return None
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(budget):
+            print(json.dumps({
+                "metric": "image×orientation×ctf comparisons/s/chip",
+                "value": None,
+                "unit": "comparisons/s",
+                "vs_baseline": None,
+                "error": "bench_wedged",
+                "note": f"no result after {budget:.0f}s — the TPU tunnel "
+                        "is most likely wedged (device ops block forever); "
+                        "see DEVICE_HEALTH_r04.json for the failure mode.",
+            }), flush=True)
+            os._exit(1)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    return done
+
+
 def main():
+    done = _arm_watchdog()
     import jax
 
     # Persistent compile cache, opt-in via JAX_COMPILATION_CACHE_DIR.
@@ -440,7 +480,11 @@ def main():
             "trustworthy."
         )
         print(json.dumps(rec))
+        if done is not None:
+            done.set()
         raise SystemExit(1)
+    if done is not None:
+        done.set()
     print(json.dumps(rec))
 
 

@@ -138,6 +138,9 @@ def main(argv=None) -> int:
     ap.add_argument("--OutputFile", default="Model_Ranking")
     args = ap.parse_args(argv)
 
+    from .config import force_cpu_if_requested
+
+    force_cpu_if_requested()  # same BIOEM_TPU_FORCE_CPU contract as the CLI
     cfg = RunConfig.from_env()
     p = read_parameters(args.Inputfile, not_uniform_angles=args.ReadOrientation is not None)
     images = read_ref_maps(

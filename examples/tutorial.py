@@ -113,6 +113,12 @@ def main():
         [os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
          env.get("PYTHONPATH", "")]
     )
+    # CPU-scale example: default to the host backend unless the caller
+    # opts in. Direct TPU attach from here is also a hazard — the axon
+    # tunnel is single-client and the CLI subprocesses do not take the
+    # tools/with_tpu.sh lock, so they can wedge a concurrent TPU job.
+    if "BIOEM_TPU_FORCE_CPU" not in env and not os.environ.get("TUTORIAL_TPU"):
+        env["BIOEM_TPU_FORCE_CPU"] = "1"
 
     print("=== 3. posterior run, model 1 (CLI) ===")
     subprocess.run(

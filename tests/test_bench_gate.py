@@ -61,3 +61,29 @@ def test_gate_unknown_probe_passes(fast_gate, monkeypatch):
     monkeypatch.setattr(bench, "device_health", lambda: None)
     health, thr, ok = bench.gate_device_health()
     assert ok and health is None
+
+
+def test_watchdog_exits_on_wedge(tmp_path):
+    """A wedged device op must not hang the bench forever: the watchdog
+    force-exits with an explicit JSON error record."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    repo = __file__.rsplit("/", 2)[0]
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import os, sys, time; sys.path.insert(0, %r); "
+         "os.environ['BENCH_WATCHDOG_S'] = '0.3'; "
+         "import bench; bench._arm_watchdog(); time.sleep(30)" % repo],
+        capture_output=True, text=True, timeout=25,
+    )
+    assert r.returncode == 1
+    rec = json.loads(r.stdout.strip().splitlines()[-1])
+    assert rec["error"] == "bench_wedged"
+    assert rec["value"] is None
+
+
+def test_watchdog_disabled(monkeypatch):
+    monkeypatch.setenv("BENCH_WATCHDOG_S", "0")
+    assert bench._arm_watchdog() is None

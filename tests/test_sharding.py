@@ -99,3 +99,31 @@ def test_sharded_checkpoint_resume(rng, tmp_path):
     r3 = e3.results(e3.run())
     np.testing.assert_allclose(r3.log_prob, ref.log_prob, rtol=1e-12)
     np.testing.assert_array_equal(r3.best_orient, ref.best_orient)
+
+
+@pytest.mark.parametrize("fused_lse,fused_batched,pallas_proj", [
+    (False, False, False), (True, False, False), (True, True, False),
+    (True, True, True),
+])
+def test_sharded_pallas_matches_single(problem, fused_lse, fused_batched,
+                                       pallas_proj):
+    """The PRODUCTION multi-chip config is Pallas kernel × mesh — compose
+    them on the CPU mesh (interpret mode) against the single-device XLA
+    reference. Covers all three kernel flavours (hybrid cc, fused
+    in-kernel LSE, fully batched body) under shard_map."""
+    p, orients, model, images = problem
+    ref = _single(p, orients, model, images)
+
+    cfg = RunConfig(
+        orient_block=2, mesh_images=2, mesh_orient=2,
+        use_pallas=True, fused_lse=fused_lse, fused_batched=fused_batched,
+        pallas_img_tile=2, pallas_projection=pallas_proj,
+    )
+    eng = ShardedBioEMEngine(p, orients, model, images, cfg)
+    res = eng.results(eng.run())
+
+    np.testing.assert_allclose(res.log_prob, ref.log_prob, rtol=0, atol=1e-4)
+    np.testing.assert_array_equal(res.best_orient, ref.best_orient)
+    np.testing.assert_array_equal(res.best_cent_x, ref.best_cent_x)
+    np.testing.assert_array_equal(res.best_cent_y, ref.best_cent_y)
+    np.testing.assert_allclose(res.angle_log, ref.angle_log, rtol=0, atol=1e-4)
