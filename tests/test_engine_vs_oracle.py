@@ -175,6 +175,7 @@ def test_random_config_corners(seed):
         grid_space_center=stride,
         shift_x=int(rng.choice([0, 1])),
         shift_y=int(rng.choice([0, 1])),
+        write_angles=int(rng.choice([0, 2])),
         grid_points_alpha=2,
         grid_points_beta=2,
     )
@@ -198,6 +199,10 @@ def test_random_config_corners(seed):
     np.testing.assert_array_equal(res.best_orient, oracle.max_orient)
     np.testing.assert_array_equal(res.best_cent_x, oracle.max_cent_x)
     np.testing.assert_array_equal(res.best_cent_y, oracle.max_cent_y)
+    if p.write_angles:
+        np.testing.assert_allclose(
+            res.angle_log, oracle.angle_log, atol=2e-4
+        )
 
     # Same corner through the Pallas kernel (interpret mode): the fold /
     # padding / tie-breaking logic must hold across the whole sampled
