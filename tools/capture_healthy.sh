@@ -71,10 +71,25 @@ run_bench "hybrid-lse tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
   BIOEM_TPU_FUSED_LSE=0 BIOEM_TPU_PALLAS_IMG_TILE=64
 
 # 3. Honest streaming evidence: 4608-orientation grid, 10k images
-#    (~8 min at the healthy 5.75M cmp/s rate; re-run with 50000 if time allows).
+#    (~8 min at the healthy 5.75M cmp/s rate; re-run with 50000 if time
+#    allows). stream_50k has no internal health gate, so bracket it with
+#    probes and record them alongside — a mid-stream degradation must be
+#    visible in the artifact.
 echo "== streaming 10k x 4608 =="
+H_PRE=$(tools/with_tpu.sh python tools/tpu_health.py 2>/dev/null | grep -o '[0-9.]* TF/s' | head -1)
 tools/with_tpu.sh env BENCH_NORIENT=4608 python tools/stream_50k.py 10240 1024 \
-  2>&1 | tail -2 | tee BENCH_STREAM_r04.json
+  > /tmp/stream_row.out 2>&1
+tail -3 /tmp/stream_row.out
+H_POST=$(tools/with_tpu.sh python tools/tpu_health.py 2>/dev/null | grep -o '[0-9.]* TF/s' | head -1)
+python3 -c '
+import json, sys
+lines = [l for l in open("/tmp/stream_row.out") if l.strip().startswith("{")]
+rec = json.loads(lines[-1]) if lines else {"error": "no stream record"}
+rec["device_health_pre"] = sys.argv[1]
+rec["device_health_post"] = sys.argv[2]
+json.dump(rec, open("BENCH_STREAM_r04.json", "w"), indent=1)
+print("BENCH_STREAM_r04.json:", rec.get("comparisons_per_s_device_loop"))
+' "${H_PRE:-unknown}" "${H_POST:-unknown}"
 
 echo "== post-capture health probe =="
 tools/with_tpu.sh python tools/tpu_health.py
