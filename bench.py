@@ -165,16 +165,12 @@ def bench_numpy_baseline(p, orients, model, images):
     return comparisons_sampled / best * ncores
 
 
-MXU_PEAKS_TFLOPS = {  # bf16 MXU peak per chip, TFLOP/s
-    "v4": 275.0, "v5 lite": 197.0, "v5e": 197.0, "v5p": 459.0,
-    "v6 lite": 918.0, "v6e": 918.0,
-}
-
-
-def _mxu_peak_tflops(kind):
-    return next(
-        (v for k, v in MXU_PEAKS_TFLOPS.items() if k in kind.lower()), None
-    )
+# Shared with the autotuner's cache gate (bioem_tpu/runtime/health.py) —
+# one probe, one peak table, one BENCH_HEALTH_MIN_TFLOPS knob.
+from bioem_tpu.runtime.health import (  # noqa: E402
+    MXU_PEAKS_TFLOPS,
+    peak_tflops as _mxu_peak_tflops,
+)
 
 
 def mxu_accounting(p, rate, cfg):
@@ -301,28 +297,9 @@ def device_health():
     cross-run comparisons interpretable: only compare `value` between runs
     with similar `device_health_tflops`. See tools/tpu_health.py.
     """
-    import time
+    from bioem_tpu.runtime.health import probe_tflops
 
-    import jax
-    import jax.numpy as jnp
-
-    n, reps = 4096, 32
-    x = jnp.ones((n, n), jnp.bfloat16)
-
-    @jax.jit
-    def f(x):
-        for _ in range(reps):
-            x = jnp.tanh(x @ x * 1e-4)
-        return x
-
-    try:
-        np.asarray(f(x))
-        t0 = time.time()
-        np.asarray(f(x))
-        dt = time.time() - t0
-        return round(reps * 2 * n**3 / dt / 1e12, 1)
-    except Exception:
-        return None
+    return probe_tflops()
 
 
 def gate_device_health():

@@ -102,6 +102,12 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="(Optional) With --Refine: also refine the CTF phase/envelope",
     )
+    ap.add_argument(
+        "--RefineCTFAmp",
+        action="store_true",
+        help="(Optional) With --Refine: also refine the CTF amplitude "
+        "(clamped to (0,1) against the Gaussian amp prior)",
+    )
     ap.add_argument("--help", action="help", help="(Optional) Produce help message")
     return ap
 
@@ -115,11 +121,11 @@ def write_refined(f, out) -> None:
     )
     f.write(
         "Refined Parameters: quaternions q1 q2 q3 q4, center displacement "
-        "x y, CTF phase & envelope\n"
+        "x y, CTF phase & envelope & amplitude\n"
     )
     f.write(
         "Columns: RefMap LogProSeed LogProRefined q1 q2 q3 q4 CentX CentY "
-        "Pha Env GradNorm\n"
+        "Pha Env Amp GradNorm\n"
     )
     f.write(
         "*********************************************************"
@@ -132,7 +138,8 @@ def write_refined(f, out) -> None:
             f"{out.logpro_refined[i]:12.6f} Quat: {q[0]:12.6f} {q[1]:12.6f} "
             f"{q[2]:12.6f} {q[3]:12.6f} Cent: {out.cent_x[i]:10.4f} "
             f"{out.cent_y[i]:10.4f} Pha: {out.pha[i]:12.6f} Env: "
-            f"{out.env[i]:12.6f} GradNorm: {out.grad_norm[i]:.3e}\n"
+            f"{out.env[i]:12.6f} Amp: {out.amp[i]:8.4f} "
+            f"GradNorm: {out.grad_norm[i]:.3e}\n"
         )
 
 
@@ -266,9 +273,23 @@ def main(argv=None) -> int:
         # Per-evaluation debug dump (reference DEBUG_PROB, defs.h:52):
         # BIOEM_TPU_DEBUG_PROB=<image index> writes every (orientation,
         # ctf, displacement) logpro of that image for cross-path diffing.
-        from .debug_prob import maybe_dump_from_env
+        # Multi-host guard (advisor r4): dump_logpro launches fresh jitted
+        # computations over the engine's banks — with globally sharded
+        # banks a rank-0-only launch deadlocks the collective, the same
+        # hazard class as the --Refine guard below.
+        if jax.process_count() > 1:
+            import os as _os
 
-        maybe_dump_from_env(perf["engine"])
+            if _os.environ.get("BIOEM_TPU_DEBUG_PROB") is not None:
+                print(
+                    "WARNING: BIOEM_TPU_DEBUG_PROB is not supported in "
+                    "multi-host runs; skipping the per-evaluation dump. "
+                    "Re-run single-host with the same inputs to produce it."
+                )
+        else:
+            from .debug_prob import maybe_dump_from_env
+
+            maybe_dump_from_env(perf["engine"])
 
     # ---- optional continuous refinement (no reference analogue) ----
     if args.Refine and jax.process_count() > 1:
@@ -286,7 +307,8 @@ def main(argv=None) -> int:
 
         t0 = time.perf_counter()
         refined = refine_results(
-            perf["engine"], results, refine_ctf=args.RefineCTF
+            perf["engine"], results, refine_ctf=args.RefineCTF,
+            refine_ctf_amp=args.RefineCTFAmp,
         )
         if cfg.debug_output >= 1:
             print(f"Refinement: {time.perf_counter() - t0:.2f}s")

@@ -34,7 +34,8 @@ grid-argmax rotation R₀ — no quaternion normalisation constraints and
 valid for Euler- and quaternion-mode grids alike.
 
 **Optimizer: multi-start damped Newton.** The parameter space is only
-7-dimensional (ω, d, CTF pha/env), so the exact Hessian via
+8-dimensional (ω, d, CTF pha/env/amp — amp gated off unless
+``refine_ctf_amp``), so the exact Hessian via
 ``jax.hessian`` is cheap and a Levenberg-damped Newton iteration is
 affine-invariant — no learning rates to tune on a surface whose
 curvature spans orders of magnitude across (rotation, displacement, CTF)
@@ -232,8 +233,15 @@ def _logpro_smooth(theta, consts, static):
     # and the symmetric Gaussian prior would not prevent the optimizer from
     # settling on that noise-fitting optimum.
     env = jnp.maximum(consts["env0"] + theta["dctf"][1].astype(F32), ENV_FLOOR)
+    # Amplitude lives in (0, 1): the CTF mixes amp·cos + √(1−amp²)·sin
+    # (param.cpp:1546-1574), so clamp inside the open interval — at |amp|→1
+    # the √ branch's gradient diverges and a Newton step would overshoot
+    # into NaN territory. The grid path never refines amp (r4 verdict #8).
+    amp = jnp.clip(
+        consts["amp0"] + theta["dctf"][2].astype(F32), 1e-4, 0.9999
+    )
     ctf = smooth_ctf_spectrum(
-        n, static["pixel_size"], static["use_psf"], consts["amp0"], pha, env,
+        n, static["pixel_size"], static["use_psf"], amp, pha, env,
         static.get("cos_n"), static.get("sin_n"),
         static.get("cos_f"), static.get("sin_f"),
     )
@@ -272,14 +280,12 @@ def _logpro_smooth(theta, consts, static):
     ) * jnp.log(jnp.maximum((ntot - 2.0) * forlog, tiny))
     from .core.posterior import ctf_prior_term
 
-    logpro = logpro - ctf_prior_term(
-        consts["amp0"], pha, env, static["p_obj"]
-    )
+    logpro = logpro - ctf_prior_term(amp, pha, env, static["p_obj"])
     return logpro
 
 
 # ---------------------------------------------------------------------------
-# Optimizer: damped Newton over the 7-vector (ω, d, dctf)
+# Optimizer: damped Newton over the (ω, d, dctf) vector (7 or 8 params)
 # ---------------------------------------------------------------------------
 
 def _newton_ascent(objective, vec0, consts, iters):
@@ -288,9 +294,10 @@ def _newton_ascent(objective, vec0, consts, iters):
     Per iteration: solve (λI − H)s = ∇f (an ascent direction for any λ
     larger than H's top eigenvalue), accept the step only if f improves
     (λ ↓ 0.4×), else reject (λ ↑ 4×) — monotone by construction, and the
-    7×7 solve is trivial. Exact H via jax.hessian; on an anisotropic
-    surface this is affine-invariant where first-order methods need
-    per-axis tuning (module docstring)."""
+    k×k solve (k = len(vec0) ≤ 8) is trivial. Exact H via jax.hessian; on
+    an anisotropic surface this is affine-invariant where first-order
+    methods need per-axis tuning (module docstring)."""
+    dim = vec0.shape[-1]
 
     def f(v):
         return objective(v, consts)
@@ -298,10 +305,10 @@ def _newton_ascent(objective, vec0, consts, iters):
     g_fn = jax.grad(f)
     h_fn = jax.hessian(f)
 
-    def solve7(a, b):
+    def solve_small(a, b):
         # TPU LuDecomposition supports only f32/c64 — solve in f32 with one
         # f64 iterative-refinement step (≈ f64-accurate for this damped
-        # 7×7; a still-bad step is simply rejected by the λ loop below).
+        # small system; a still-bad step is simply rejected by the λ loop).
         s0 = jnp.linalg.solve(a.astype(F32), b.astype(F32)).astype(F64)
         r = b - a @ s0
         return s0 + jnp.linalg.solve(a.astype(F32), r.astype(F32)).astype(F64)
@@ -310,7 +317,7 @@ def _newton_ascent(objective, vec0, consts, iters):
         vec, lam, fv = carry
         g = g_fn(vec)
         h = h_fn(vec)
-        s = solve7(lam * jnp.eye(7, dtype=F64) - h, g)
+        s = solve_small(lam * jnp.eye(dim, dtype=F64) - h, g)
         # Singular/overflowed solve → fall back to a small gradient step.
         s = jnp.where(
             jnp.all(jnp.isfinite(s)), s,
@@ -344,7 +351,7 @@ class RefineResult:
     cent_y: np.ndarray
     pha: np.ndarray  # (I,) refined CTF phase (= seed unless refine_ctf)
     env: np.ndarray
-    amp: np.ndarray  # (I,) (never refined: grids pin it; kept for output)
+    amp: np.ndarray  # (I,) refined amplitude (= seed unless refine_ctf_amp)
     logpro_seed: np.ndarray  # (I,) smooth-model logpro at the grid argmax
     logpro_refined: np.ndarray  # (I,) best over starts (≥ logpro_seed)
     grad_norm: np.ndarray  # (I,) gradient norm at winner (stationarity)
@@ -395,6 +402,7 @@ def refine_results(
     jitter_rot: float = 0.12,
     jitter_disp: Optional[float] = None,
     refine_ctf: bool = False,
+    refine_ctf_amp: bool = False,
     image_indices: Optional[np.ndarray] = None,
     seed: int = 0,
 ) -> RefineResult:
@@ -410,8 +418,11 @@ def refine_results(
     pixel-scale sidelobe (module docstring). All images × starts run as
     one jitted vmap; the best final log posterior per image wins (always
     ≥ the seed's by monotone accept/reject). ``refine_ctf`` additionally
-    optimises the CTF (phase, envelope) pair; amplitude stays pinned
-    (production grids fix it, reference doc/index.rst:2097-2132).
+    optimises the CTF (phase, envelope) pair; ``refine_ctf_amp`` frees the
+    amplitude as well, clamped to (0, 1) against the Gaussian amp prior
+    (bioem_algorithm.h:49-67). Amp stays pinned by default because
+    production grids fix it (reference doc/index.rst:2097-2132) — the
+    argmax tuple being polished is bioem.cpp:1141-1222's.
     """
     defs.enable_x64()
     if engine.fspec is None:
@@ -500,27 +511,40 @@ def refine_results(
         "sum_ref": banks.sum_ref[idx],
         "ssq_ref": banks.ssq_ref[idx],
     }
-    ctf_scale = 1.0 if refine_ctf else 0.0
+    # Per-component gates: (dpha, denv, damp). The vector is always 8-wide;
+    # a zero gate freezes the component exactly (its gradient is zero, so
+    # Newton never moves it and the λI damping keeps the solve regular).
+    ctf_gate = jnp.asarray(
+        [
+            1.0 if refine_ctf else 0.0,
+            1.0 if refine_ctf else 0.0,
+            1.0 if refine_ctf_amp else 0.0,
+        ],
+        F64,
+    )
 
     def objective(vec, c):
         theta = {
             "omega": vec[:3],
             "d": vec[3:5],
-            "dctf": vec[5:7] * ctf_scale,
+            "dctf": vec[5:8] * ctf_gate,
         }
         return _logpro_smooth(theta, c, static)
 
     if jitter_disp is None:
         jitter_disp = 0.6 * float(p.grid_space_center)
     rng = np.random.default_rng(seed)
-    starts = np.zeros((n_starts, 7))
+    starts = np.zeros((n_starts, 8))
     if n_starts > 1:
         starts[1:, :3] = rng.normal(0.0, jitter_rot, (n_starts - 1, 3))
         starts[1:, 3:5] = rng.uniform(-jitter_disp, jitter_disp, (n_starts - 1, 2))
+        if refine_ctf_amp:
+            # Grid-cell-scale amp exploration (grids step amp by ~0.05-0.1).
+            starts[1:, 7] = rng.uniform(-0.05, 0.05, n_starts - 1)
     starts_j = jnp.asarray(starts, F64)
 
     def per_image(c):
-        seed_logpro = objective(jnp.zeros(7, F64), c)
+        seed_logpro = objective(jnp.zeros(8, F64), c)
         vecs, finals = jax.vmap(
             lambda v0: _newton_ascent(objective, v0, c, iters)
         )(starts_j)
@@ -539,7 +563,7 @@ def refine_results(
         np.float64,
     )
     d = d0 + vec[:, 3:5]
-    dctf = vec[:, 5:7] * ctf_scale
+    dctf = vec[:, 5:8] * np.asarray(ctf_gate, np.float64)
     return RefineResult(
         rotmat=rot,
         quaternion=_rotmat_to_quaternion(rot),
@@ -547,7 +571,7 @@ def refine_results(
         cent_y=-d[:, 1],
         pha=pha0 + dctf[:, 0],
         env=np.maximum(env0 + dctf[:, 1], ENV_FLOOR),
-        amp=amp0.astype(np.float64),
+        amp=np.clip(amp0 + dctf[:, 2], 1e-4, 0.9999).astype(np.float64),
         logpro_seed=np.asarray(lp0, np.float64),
         logpro_refined=np.asarray(lp1, np.float64),
         grad_norm=np.asarray(gnorm, np.float64),

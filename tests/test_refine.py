@@ -48,7 +48,8 @@ def _params(**kw):
     return tiny_params(**defaults)
 
 
-def _synth_image(engine, rot_star, ctf_idx, d_star, rng, noise_sigma=0.0):
+def _synth_image(engine, rot_star, ctf_idx, d_star, rng, noise_sigma=0.0,
+                 amp_star=None, pha_star=None):
     """Render the smooth forward model at (rot*, ctf, d*) into a real image.
 
     The image spectrum is conv·e^{−i2πk·d*/N}; with the engine's conjugated
@@ -66,9 +67,10 @@ def _synth_image(engine, rot_star, ctf_idx, d_star, rng, noise_sigma=0.0):
         engine.fspec, th_x, th_y, b.dens, b.norm_den, b.st_re, b.st_im,
         b.st_sums, signed_rows=True,
     )
+    amp = b.amp[ctf_idx] if amp_star is None else jnp.asarray(amp_star, jnp.float32)
+    pha = b.pha[ctf_idx] if pha_star is None else jnp.asarray(pha_star, jnp.float32)
     ctf = smooth_ctf_spectrum(
-        n, p.pixel_size, p.use_psf,
-        b.amp[ctf_idx], b.pha[ctf_idx], b.env[ctf_idx],
+        n, p.pixel_size, p.use_psf, amp, pha, b.env[ctf_idx],
     )
     spec = (np.asarray(pr) + 1j * np.asarray(pi)) * np.asarray(ctf)
     nf = n // 2 + 1
@@ -129,19 +131,19 @@ def test_gradient_matches_finite_difference(rng):
     }
 
     def f(vec):
-        theta = {"omega": vec[:3], "d": vec[3:5], "dctf": vec[5:7]}
+        theta = {"omega": vec[:3], "d": vec[3:5], "dctf": vec[5:8]}
         return _logpro_smooth(theta, consts, static)
 
     vec0 = jnp.asarray(
-        [0.05, -0.03, 0.02, 0.4, -0.3, 0.01, 0.5], jnp.float64
+        [0.05, -0.03, 0.02, 0.4, -0.3, 0.01, 0.5, 0.04], jnp.float64
     )
     g = np.asarray(jax.grad(f)(vec0))
     # eps balances truncation vs f32 cancellation noise: at 1e-5 the FD
     # quotient is noise-limited (~13% worst component, measured), at 1e-4
-    # all 7 components sit under 1%.
+    # all components sit under 1%.
     eps = 1e-4
-    for k in range(7):
-        e = np.zeros(7)
+    for k in range(8):
+        e = np.zeros(8)
         e[k] = eps
         fd = (float(f(vec0 + e)) - float(f(vec0 - e))) / (2 * eps)
         # The heavy tensors are float32 (split-precision policy), so both
@@ -265,6 +267,43 @@ def test_refine_ctf_improves_phase(rng):
     seed_pha = float(eng.banks.pha[res.best_conv[0]])
     assert abs(out.pha[0] - pha_star) < abs(seed_pha - pha_star)
     assert out.logpro_refined[0] >= out.logpro_seed[0]
+
+
+def test_refine_ctf_amp_recovery(rng):
+    """--RefineCTFAmp (r4 verdict next #8): plant an off-grid CTF
+    amplitude; the grid pins amp (n_amp=1), so only the freed amp axis can
+    close the gap. Also asserts the default path leaves amp untouched."""
+    p = _params(n_phase=2, start_defocus=0.6, end_defocus=1.4)
+    orients = build_orientations(p)
+    model = tiny_model(rng, n_points=10)
+    boot = BioEMEngine(
+        p, orients, model, tiny_images(rng, 1, p.n_pixels), RunConfig(orient_block=4)
+    )
+    from bioem_tpu.core.orientations import rotation_matrices
+
+    rot_star = np.asarray(
+        rotation_matrices(
+            jnp.asarray(orients.angles[3]), orients.use_quaternions
+        ),
+        np.float64,
+    )
+    amp_grid = float(boot.banks.amp[0])
+    amp_star = amp_grid + 0.15  # well off the (single-point) amp grid
+    images = _synth_image(
+        boot, rot_star, 0, np.zeros(2), rng, amp_star=amp_star
+    )
+
+    eng = BioEMEngine(p, orients, model, images, RunConfig(orient_block=4))
+    res = eng.results(eng.run())
+
+    pinned = refine_results(eng, res, refine_ctf=True)
+    assert pinned.amp[0] == pytest.approx(amp_grid)  # default: grid-pinned
+
+    out = refine_results(eng, res, refine_ctf=True, refine_ctf_amp=True)
+    assert out.logpro_refined[0] >= out.logpro_seed[0]
+    assert abs(out.amp[0] - amp_star) < abs(amp_grid - amp_star)
+    assert abs(out.amp[0] - amp_star) < 0.05, (out.amp[0], amp_star)
+    assert 1e-4 <= out.amp[0] <= 0.9999  # clamp respected
 
 
 def test_refine_raster_engine_rejected(rng):

@@ -319,3 +319,73 @@ def test_default_candidates_cross_product_and_lane_rule():
     assert (True, 8) not in combos16
     assert (True, 16) in combos16
     assert (False, 8) in combos16
+
+
+def test_autotune_degraded_device_never_persists(rng, tmp_path, monkeypatch):
+    """r4 verdict Weak #2: a tuning session on a degraded device must tune
+    for THIS run only and leave the cache file untouched — a winner timed
+    at 2 TF/s must never poison subsequent healthy runs."""
+    import bioem_tpu.runtime.health as health
+
+    cache = tmp_path / "tune.json"
+    monkeypatch.setenv("BIOEM_TPU_AUTOTUNE_CACHE", str(cache))
+    monkeypatch.setattr(health, "cache_gate", lambda: (3.1, False))
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    best = autotune_config(
+        p, orients, model, images, RunConfig(),
+        candidates=[RunConfig(orient_block=2)], blocks=1, repeats=1,
+    )
+    assert best.orient_block == 2  # this run still gets the timed winner
+    assert not cache.exists()  # ...but nothing was persisted
+
+
+def test_autotune_healthy_device_persists_with_stamp(rng, tmp_path, monkeypatch):
+    """A healthy-device winner is persisted, stamped with the gating probe
+    value for provenance, and the stamp never leaks into the applied
+    config fields on a later cache hit."""
+    import json
+
+    import bioem_tpu.runtime.health as health
+
+    cache = tmp_path / "tune.json"
+    monkeypatch.setenv("BIOEM_TPU_AUTOTUNE_CACHE", str(cache))
+    monkeypatch.setattr(health, "cache_gate", lambda: (151.0, True))
+    p = tiny_params()
+    model = tiny_model(rng)
+    images = tiny_images(rng, 4, p.n_pixels)
+    orients = build_orientations(p)
+    autotune_config(
+        p, orients, model, images, RunConfig(),
+        candidates=[RunConfig(orient_block=2)], blocks=1, repeats=1,
+    )
+    data = json.loads(cache.read_text())
+    (entry,) = data.values()
+    assert entry["_health_tflops"] == 151.0
+    # Cache hit applies only real config fields (no _health_tflops kwarg).
+    again = autotune_config(
+        p, orients, model, images, RunConfig(orient_block=7),
+        candidates=[], blocks=1, repeats=1,
+    )
+    assert again.orient_block == 2
+
+
+def test_autotune_tpu_load_ignores_unstamped_entries(tmp_path, monkeypatch):
+    """Legacy cache entries written before the health gate existed (or by
+    older builds) carry no probe stamp — on TPU they may have been tuned in
+    a degraded regime and must read as cache misses."""
+    import json
+
+    from bioem_tpu.runtime import autotune as at
+
+    cache = tmp_path / "tune.json"
+    cache.write_text(json.dumps({
+        "K_legacy": {"orient_block": 2},
+        "K_stamped": {"orient_block": 4, "_health_tflops": 140.0},
+    }))
+    monkeypatch.setenv("BIOEM_TPU_AUTOTUNE_CACHE", str(cache))
+    monkeypatch.setattr(at.jax, "default_backend", lambda: "tpu")
+    assert at._cache_load("K_legacy") is None
+    assert at._cache_load("K_stamped") == {"orient_block": 4}

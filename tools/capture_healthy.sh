@@ -47,9 +47,10 @@ run_bench() { # name, env assignments...
   append_row "$name" /tmp/bench_row.out
 }
 
-# 1. Official autotuned record (delete any degraded-regime tune cache first —
-#    winners tuned on a sick device are poisoned).
-rm -f .bioem_tpu_autotune.json
+# 1. Official autotuned record. The autotuner cache is now health-gated on
+#    its own (runtime/autotune.py: degraded-regime winners are never
+#    persisted, and un-stamped legacy entries are ignored on TPU), so no
+#    manual cache scrub is needed here.
 run_bench "autotuned" || exit 1
 cp /tmp/bench_row.out /tmp/bench_healthy.out
 python3 -c '

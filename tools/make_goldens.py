@@ -30,13 +30,22 @@ REF_SOURCES = [
 ]
 
 
-def build_reference() -> str:
+def build_reference(use_double: bool = False) -> str:
+    """Build the reference against the naive-DFT shim.
+
+    ``use_double=True`` adds -DBIOEM_USE_DOUBLE (reference
+    include/defs.h:64-100: myfloat_t = double, fftw_* double-precision
+    API — the shim implements both precisions): the reference's own
+    full-double build, documented in doc/index.rst:1519-1533. Its output
+    is EXTERNAL ground truth at ~1e-6, replacing the in-repo f64 oracle
+    for the production-N accuracy claim (r4 verdict Missing #3)."""
     os.makedirs(BUILD, exist_ok=True)
-    binary = os.path.join(BUILD, "bioem_ref")
+    binary = os.path.join(BUILD, "bioem_ref_f64" if use_double else "bioem_ref")
     srcs = [os.path.join(REF, s) for s in REF_SOURCES]
     srcs.append(os.path.join(SHIM, "fftw_shim.cpp"))
     cmd = [
         "g++", "-O2", "-std=c++14", "-w",
+        *(["-DBIOEM_USE_DOUBLE"] if use_double else []),
         "-I", SHIM, "-I", os.path.join(REF, "include"),
         "-o", binary, *srcs,
     ]
@@ -158,7 +167,7 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
              priors: bool = False, model_kind: str = "text",
              maps_kind: str = "text", n_pix: int = 16,
              n_list: int = 8, model_n: int = 10,
-             model_spread: float = 6.0) -> None:
+             model_spread: float = 6.0, f64_binary: str = None) -> None:
     case_dir = os.path.join(OUT, name)
     os.makedirs(case_dir, exist_ok=True)
     rng = np.random.default_rng(42)
@@ -227,6 +236,27 @@ def run_case(binary: str, name: str, param_text: str, n_img: int,
             os.path.join(case_dir, "ANG_PROB.golden"),
         )
     print(f"golden case {name}: OK")
+    if f64_binary is not None:
+        # Same inputs (already on disk), full-double reference build:
+        # writes the external-ground-truth golden next to the f32 one.
+        args_f64 = list(args)
+        args_f64[0] = f64_binary
+        args_f64[args_f64.index("Output_Probabilities.golden")] = (
+            "Output_Probabilities.f64.golden"
+        )
+        res = subprocess.run(
+            args_f64, cwd=case_dir, env=env, capture_output=True, text=True
+        )
+        if res.returncode != 0:
+            print(res.stdout[-3000:])
+            print(res.stderr[-3000:])
+            raise RuntimeError(f"f64 reference run failed for {name}")
+        if os.path.exists(os.path.join(case_dir, "ANG_PROB")):
+            shutil.move(
+                os.path.join(case_dir, "ANG_PROB"),
+                os.path.join(case_dir, "ANG_PROB.f64.golden"),
+            )
+        print(f"golden case {name} (f64): OK")
 
 
 CASE_C_PARAM = CASE_A_PARAM.replace("case A: Euler grid, CTF mode",
@@ -375,7 +405,8 @@ def run_bestmap_case(binary: str, name: str) -> None:
 
 def main() -> int:
     binary = build_reference()
-    run_case(binary, "case_a_euler_ctf", CASE_A_PARAM, 3)
+    binary64 = build_reference(use_double=True)
+    run_case(binary, "case_a_euler_ctf", CASE_A_PARAM, 3, f64_binary=binary64)
     run_case(binary, "case_b_quat_psf", CASE_B_PARAM, 2, quat_list=True)
     run_case(binary, "case_c_mrc_stack", CASE_C_PARAM, 4, maps_kind="mrc")
     run_case(binary, "case_d_multi_mrc", CASE_D_PARAM, 3, maps_kind="multimrc")
@@ -391,14 +422,15 @@ def main() -> int:
     # orientations keep the reference run to seconds (the reference's own
     # fast-sanity trick, BIOEM_DEBUG_BREAK, bioem.cpp:518-525).
     run_case(binary, "case_l_n64", CASE_L_PARAM, 2, euler_list=True, n_pix=64,
-             n_list=2)
+             n_list=2, f64_binary=binary64)
     run_bestmap_case(binary, "case_m_bestmap")
     # Production-N golden: the double-precision row-column DFT shim makes
     # even N=224 tractable (O(N³) per transform); 2 orientations × 8 CTFs ×
     # 2 images keeps the reference run to ~a minute. The model is a
     # production-extent point cloud (±60 Å in the ±118.7 Å frame).
     run_case(binary, "case_n_n224", CASE_N_PARAM, 2, euler_list=True,
-             n_pix=224, n_list=2, model_n=40, model_spread=60.0)
+             n_pix=224, n_list=2, model_n=40, model_spread=60.0,
+             f64_binary=binary64)
     return 0
 
 

@@ -83,7 +83,7 @@ def run_shape(shape, p, orients, model, images):
     assert np.isfinite(res.log_prob).all()
 
     comparisons = eng.n_orient * eng.n_ctf * eng.n_img
-    return {
+    row = {
         "mesh": list(shape),
         "n_shards": n_shards,
         "comparisons_per_s": round(comparisons / best, 1),
@@ -91,6 +91,7 @@ def run_shape(shape, p, orients, model, images):
         "run_s": round(best, 4),
         "merge_s": round(merge_s, 4),
     }
+    return row, np.asarray(res.log_prob)
 
 
 def main(argv=None) -> int:
@@ -115,17 +116,34 @@ def main(argv=None) -> int:
     max_shards = int(argv[0]) if argv else n_dev
     max_shards = min(max_shards, n_dev)
 
-    from bench import build_problem
-
     # Smaller grid than bench.py's on the CPU mesh (plumbing validation);
-    # env-overridable for the real multi-chip measurement.
+    # env-overridable for the real multi-chip measurement. Must be set
+    # BEFORE importing bench — bench.py reads these into module constants
+    # at import time (advisor r4 finding: a post-import setdefault was a
+    # no-op and a fresh run used the full production problem).
     os.environ.setdefault("BENCH_QUATGRID", "5")
     os.environ.setdefault("BENCH_NIMG", "16")
+    from bench import build_problem
+
     p, orients, model, images = build_problem()
 
     rows = []
+    ref_logp = None
     for shape in mesh_shapes(max_shards):
-        rows.append(run_shape(shape, p, orients, model, images))
+        row, logp = run_shape(shape, p, orients, model, images)
+        rows.append(row)
+        if ref_logp is None:
+            ref_logp = logp  # the 1-shard run is the ground truth
+            row["logp_max_abs_diff_vs_1shard"] = 0.0
+        else:
+            # Self-verification (r4 verdict Weak #4): a ladder row is a
+            # correctness statement, not a no-NaN statement. The sharded
+            # collective LSE must reproduce the single-shard posterior.
+            diff = float(np.max(np.abs(logp - ref_logp)))
+            row["logp_max_abs_diff_vs_1shard"] = diff
+            assert diff < 1e-6 * max(1.0, float(np.max(np.abs(ref_logp)))), (
+                f"sharded logP diverges from 1-shard at mesh {shape}: {diff}"
+            )
         base = rows[0]["comparisons_per_s"]
         rows[-1]["scaling_efficiency_pct"] = round(
             100.0 * rows[-1]["comparisons_per_s"] / (base * rows[-1]["n_shards"]),
