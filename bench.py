@@ -396,7 +396,7 @@ def main():
             pass
     health_pre, health_thr, health_ok = gate_device_health()
     if not health_ok:
-        print(json.dumps({
+        rec = {
             "metric": "image×orientation×ctf comparisons/s/chip",
             "value": None,
             "unit": "comparisons/s",
@@ -409,7 +409,23 @@ def main():
                     "measured in this regime is a property of the sick "
                     "device, not the code (see BENCH_AB.json round-3 "
                     "incident).",
-        }))
+        }
+        # If a healthy-window capture succeeded earlier (tools/
+        # capture_healthy.sh → BENCH_HEALTHY.json), carry that record here
+        # so the round artifact still points at valid evidence even when
+        # the driver's end-of-round run lands in a degraded window.
+        try:
+            with open(
+                os.path.join(os.path.dirname(__file__), "BENCH_HEALTHY.json")
+            ) as f:
+                rec["healthy_capture"] = json.load(f)
+            rec["note"] += (
+                " A healthy-window capture from earlier in this round is "
+                "embedded under 'healthy_capture'."
+            )
+        except (OSError, ValueError):
+            pass
+        print(json.dumps(rec))
         raise SystemExit(1)
     p, orients, model, images = build_problem()
     tpu_rate, comparisons = bench_engine(p, orients, model, images)

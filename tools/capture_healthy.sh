@@ -54,10 +54,12 @@ run_bench() { # name, env assignments...
 run_bench "autotuned" || exit 1
 cp /tmp/bench_row.out /tmp/bench_healthy.out
 python3 -c '
-import json
+import json, sys
 line = [l for l in open("/tmp/bench_healthy.out") if l.strip().startswith("{")][-1]
-json.dump(json.loads(line), open("BENCH_HEALTHY.json", "w"), indent=1)
-'
+rec = json.loads(line)
+rec["_utc"] = sys.argv[1]
+json.dump(rec, open("BENCH_HEALTHY.json", "w"), indent=1)
+' "$TS"
 
 # 2. Pinned A/B matrix (no autotune; round-3 winner config as the baseline row).
 run_bench "per-image tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
@@ -92,6 +94,22 @@ json.dump(rec, open("BENCH_STREAM_r04.json", "w"), indent=1)
 print("BENCH_STREAM_r04.json:", rec.get("comparisons_per_s_device_loop"))
 ' "${H_PRE:-unknown}" "${H_POST:-unknown}"
 
+# 4. Device-time re-trace (r4 verdict #6): component split of the scan at
+#    whatever config the A/B above crowned — needed to decide whether the
+#    next optimization target is the comparison kernel or projection.
+echo "== trace_step device-time split =="
+tools/with_tpu.sh python tools/trace_step.py > /tmp/trace_step.out 2>&1 \
+  && { tail -30 /tmp/trace_step.out; cp /tmp/trace_step.out TRACE_STEP_r05.txt; } \
+  || echo "trace_step failed (non-fatal)"
+
+# 5. Real-TPU verify drive (planted-parameter recovery end-to-end through
+#    the public API + continuous refinement) — the verify recipe's TPU leg.
+echo "== planted_recovery TPU drive =="
+tools/with_tpu.sh timeout 900 python examples/planted_recovery.py \
+  > /tmp/planted_tpu.out 2>&1 \
+  && grep -E "PASS|comparisons/s" /tmp/planted_tpu.out \
+  || { echo "planted_recovery TPU drive FAILED:"; tail -5 /tmp/planted_tpu.out; }
+
 echo "== post-capture health probe =="
 tools/with_tpu.sh python tools/tpu_health.py
-echo "capture complete: BENCH_HEALTHY.json BENCH_AB_r04.json BENCH_STREAM_r04.json"
+echo "capture complete: BENCH_HEALTHY.json BENCH_AB_r04.json BENCH_STREAM_r04.json TRACE_STEP_r05.txt"
