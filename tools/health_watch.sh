@@ -35,6 +35,15 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     note null "probe failed rc=$RC (wedged or hung)"
   else
     note "$TF" "watcher probe"
+    # Degraded but responsive: pre-compile every capture config ONCE
+    # (compiles are host-side and unaffected by device-side degradation)
+    # so the eventual healthy window is spent measuring, not compiling.
+    if [ "${TF%.*}" -lt "$THRESH" ] 2>/dev/null && [ ! -e /tmp/bioem_prewarmed ]; then
+      note "$TF" "degraded but responsive - running prewarm_cache.sh"
+      tools/prewarm_cache.sh > /tmp/prewarm.log 2>&1 \
+        && touch /tmp/bioem_prewarmed \
+        && note null "prewarm complete"
+    fi
     # Integer compare on the floor of TF.
     if [ "${TF%.*}" -ge "$THRESH" ] 2>/dev/null; then
       note "$TF" "HEALTHY - firing capture_healthy.sh"
