@@ -264,3 +264,56 @@ def test_stride_fold_requires_multiple_displacements(rng):
         np.testing.assert_allclose(rp.log_prob, rx.log_prob, atol=2e-4)
         np.testing.assert_array_equal(rp.best_cent_x, rx.best_cent_x)
         np.testing.assert_array_equal(rp.best_cent_y, rx.best_cent_y)
+
+
+@pytest.mark.parametrize("split", ["rne", "masked"])
+def test_split_hilo_modes(rng, split, monkeypatch):
+    """Both hi/lo split modes must reconstruct x to the bf16-split floor.
+
+    ``masked`` (BIOEM_TPU_SPLIT=masked, r4 verdict Weak #5) builds hi by
+    integer mantissa masking — fold-proof against any float-algebra
+    simplification of ``x - f32(bf16(x))`` — at the cost of ≤1 extra bit
+    of residual vs round-to-nearest."""
+    from bioem_tpu.ops.compare_pallas import _split_hilo
+
+    monkeypatch.setenv("BIOEM_TPU_SPLIT", split)
+    mag = np.float32(10.0) ** rng.uniform(-3, 3, (64, 64)).astype(np.float32)
+    x = jnp.asarray(rng.normal(0, 1, (64, 64)).astype(np.float32) * mag)
+    hi, lo = _split_hilo(x)
+    assert hi.dtype == jnp.bfloat16 and lo.dtype == jnp.bfloat16
+    # hi must be exact in bf16 (round-trip is the identity).
+    np.testing.assert_array_equal(
+        np.asarray(hi.astype(jnp.float32).astype(jnp.bfloat16)), np.asarray(hi)
+    )
+    rec = np.asarray(hi.astype(jnp.float32)) + np.asarray(lo.astype(jnp.float32))
+    err = np.abs(rec - np.asarray(x)) / np.maximum(np.abs(np.asarray(x)), 1e-30)
+    assert err.max() < 2.0**-16, err.max()
+
+
+def test_fused_cc_stacked_accuracy_masked_split(rng, monkeypatch):
+    """The 3-pass kernel under the masked split stays at the split floor
+    (≤1 bit above the rne mode's 5e-5 bound), through the same interpret
+    pipeline the production kernel runs."""
+    monkeypatch.setenv("BIOEM_TPU_SPLIT", "masked")
+    oc, i, n, n_disp = 4, 8, 32, 5
+    f = n // 2 + 1
+    disp = (np.arange(n_disp) - n_disp // 2).astype(np.int32)
+    wx, wy = displacement_dft_weights(n, disp)
+    conv_re = rng.normal(0, 1, (oc, n, f)).astype(np.float32)
+    conv_im = rng.normal(0, 1, (oc, n, f)).astype(np.float32)
+    img_re = rng.normal(0, 1, (i, n, f)).astype(np.float32)
+    img_im = rng.normal(0, 1, (i, n, f)).astype(np.float32)
+    p = (conv_re + 1j * conv_im).astype(np.complex128)[:, None] * (
+        img_re + 1j * img_im
+    ).astype(np.complex128)[None]
+    t1 = np.einsum("dn,oinf->oidf", wx.astype(np.complex128), p)
+    ref = np.einsum("ef,oidf->oide", wy.astype(np.complex128), t1).real
+    a = jnp.asarray
+    out = fused_displacement_cc(
+        a(conv_re), a(conv_im), a(img_re), a(img_im),
+        a(np.ascontiguousarray(wx.real)), a(np.ascontiguousarray(wx.imag)),
+        a(wy.real.copy()), a(wy.imag.copy()),
+        img_tile=4, n_fold=1, mxu_mode="stacked",
+    )
+    err = np.abs(np.asarray(out) - ref).max() / np.abs(ref).max()
+    assert err < 1e-4, f"masked-split kernel degraded: {err:.2e}"
