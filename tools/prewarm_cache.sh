@@ -8,10 +8,19 @@
 # measuring instead of compiling.
 set -u
 cd "$(dirname "$0")/.."
+FAILED=0
 warm() {
   echo "== prewarm: $* =="
-  tools/with_tpu.sh env BENCH_HEALTH_MIN_TFLOPS=0 BENCH_REPEATS=1 "$@" \
-    python bench.py 2>&1 | tail -1
+  local out rc
+  out=$(tools/with_tpu.sh env BENCH_HEALTH_MIN_TFLOPS=0 BENCH_REPEATS=1 "$@" \
+    python bench.py 2>&1)
+  rc=$?
+  printf '%s\n' "$out" | tail -1
+  # A refused (wedged-tunnel) or failed warm must fail the script: the
+  # caller (health_watch.sh) marks prewarm done only on full success —
+  # round-5 incident: 4/5 warms were refused mid-recovery and the flag
+  # file suppressed the retry.
+  [ $rc -ne 0 ] && FAILED=1
 }
 warm BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 BIOEM_TPU_FUSED_LSE=1 \
   BIOEM_TPU_FUSED_BATCHED=0 BIOEM_TPU_PALLAS_IMG_TILE=64
@@ -23,4 +32,8 @@ warm BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=8 BIOEM_TPU_FUSED_LSE=1 \
   BIOEM_TPU_FUSED_BATCHED=1 BIOEM_TPU_PALLAS_IMG_TILE=64
 warm BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 BIOEM_TPU_FUSED_LSE=0 \
   BIOEM_TPU_PALLAS_IMG_TILE=64
+if [ "$FAILED" -ne 0 ]; then
+  echo "prewarm INCOMPLETE (some configs refused/failed)"
+  exit 1
+fi
 echo "prewarm complete"
