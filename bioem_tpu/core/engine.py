@@ -572,6 +572,12 @@ class BioEMEngine:
                 se = se.reshape(o, c, n_img_local)
                 ds = ds.reshape(o, c, n_img_local)
                 ccs = ccs.reshape(o, c, n_img_local)
+                # f64 absolute repair of the in-kernel f32 max (the Mosaic
+                # data path has no f64): one log1p per (o, c, i) from the
+                # returned argmax cc — see posterior.refine_varying_max.
+                from .posterior import refine_varying_max
+
+                m = refine_varying_max(ccs, sum_c, banks.sum_ref, f0, ntot)
             else:
                 from ..ops.compare_pallas import fused_displacement_cc
 

@@ -47,6 +47,58 @@ F64 = jnp.float64
 I32 = jnp.int32
 
 
+def accurate_log1p(u):
+    """f32 log1p evaluated WITHOUT the TPU intrinsic on the operative range.
+
+    TPU's f32 ``log1p`` intrinsic carries ~3.7e-4 max RELATIVE error
+    (docs/manual.md §9). Amplified by a_coef = (3−N²)/2 ≈ −25k at N=224,
+    that injects |y*|·3.7e-4·25k ≈ 0.1 log-units of backend error into
+    log P through the varying-part max (measured round 5: TPU reads 0.183
+    vs the f32 reference golden where CPU reads 0.077, and the bf16
+    kernel bodies were ruled out by CPU-emulation attribution). An
+    exp-based Newton refinement cannot fix it (exp's own 5e-6 relative
+    error lands as ~5e-6 ABSOLUTE in the correction → 0.125 log-units).
+
+    Instead: for u > −1/3 (|log1p| < 0.41 — every displacement that can
+    matter to the LSE except pathologically flat posteriors, which the
+    f64 argmax refinement in displacement_lse/merge covers) evaluate the
+    atanh series
+
+        log1p(u) = 2s·(1 + s²/3 + s⁴/5 + s⁶/7 + s⁸/9),  s = u/(2+u)
+
+    — pure VPU mul/add/divide, no transcendental: truncation ≤ 4e-9 at
+    |s| ≤ 0.2 and f32 rounding ~ulp, i.e. ~1000× tighter than the
+    intrinsic (and cheaper than its polynomial-with-range-reduction).
+    Below −1/3 fall back to the intrinsic: those evaluations sit ≥0.4·|a|
+    log-units under any near-zero max, and when the max itself lives
+    there the errors are common-mode across the cluster of near-max u's
+    (differences cancel) while the absolute part is repaired in f64 at
+    the argmax. Kill-switch: BIOEM_TPU_ACCURATE_LOG1P=0. CPU/other
+    backends keep the (correctly-rounded) native log1p."""
+    import os
+
+    if jax.default_backend() != "tpu" or os.environ.get(
+        "BIOEM_TPU_ACCURATE_LOG1P", "1"
+    ) == "0":
+        return jnp.log1p(u)
+    return jnp.where(u > jnp.float32(-1 / 3), _log1p_series(u), jnp.log1p(u))
+
+
+def _log1p_series(u):
+    """atanh-series log1p, valid/accurate for u > −1/3 (|s| ≤ 0.2)."""
+    s = u / (2.0 + u)
+    s2 = s * s
+    return (2.0 * s) * (
+        1.0 + s2 * (
+            jnp.float32(1 / 3)
+            + s2 * (
+                jnp.float32(1 / 5)
+                + s2 * (jnp.float32(1 / 7) + s2 * jnp.float32(1 / 9))
+            )
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Host-side precomputed constants
 # ---------------------------------------------------------------------------
@@ -234,6 +286,26 @@ def displacement_cc(
     return cc.astype(F32)
 
 
+def refine_varying_max(cc_star, sum_c, sum_ref, f0, ntot):
+    """f64 re-evaluation of the varying-part max A·log1p(u*) at the argmax
+    displacement (f32-u path formula: u = (2·sr·sC·cc − N²·cc²)/F0).
+
+    The max's ABSOLUTE error enters log P directly (log Σexp(v) =
+    m + log Σexp(v−m) for any m), so this one f64 log1p per (o, c, i) —
+    the same per-(o,c,i) cost class as the K constant — removes the TPU
+    f32 log1p intrinsic's 3.7e-4 relative error from the posterior's
+    absolute level on BOTH the XLA and the fused-kernel paths. Returns
+    f64 (merge_block upcasts m anyway)."""
+    cc64 = cc_star.astype(F64)
+    u = (
+        2.0 * sum_ref.astype(F64)[None, None, :]
+        * sum_c.astype(F64)[:, :, None] * cc64
+        - jnp.float64(ntot) * cc64 * cc64
+    ) / f0
+    a_coef = jnp.float64((3.0 - ntot) * 0.5)
+    return a_coef * jnp.log1p(u)
+
+
 def displacement_lse(
     cc: jnp.ndarray,  # (O, C, I, D, D) f32
     sum_c: jnp.ndarray,  # (O, C) f32
@@ -277,7 +349,21 @@ def displacement_lse(
         u = (
             2.0 * sr * sc * cc_flat - jnp.float32(ntot) * cc_flat * cc_flat
         ) / f0_32
-        v_flat = a_coef * jnp.log1p(u)  # (O,C,I,D²)
+        v_flat = a_coef * accurate_log1p(u)  # (O,C,I,D²)
+        m = jnp.max(v_flat, axis=-1)
+        d_star = jnp.argmax(v_flat, axis=-1).astype(I32)
+        sumexp = jnp.sum(jnp.exp(v_flat - m[..., None]), axis=-1)
+        cc_star = jnp.take_along_axis(cc_flat, d_star[..., None], axis=-1)[..., 0]
+        # Absolute-accuracy repair: recompute the max term at the argmax in
+        # f64 (one log1p per (o,c,i) — same cost class as the K constant).
+        # log Σexp(v) = m + log Σexp(v−m) holds for ANY m, so substituting
+        # the f64 value corrects the common-mode/absolute intrinsic error
+        # exactly at the term that sets log P's absolute level, while the
+        # f32 relative differences (already intrinsic-free via the series
+        # above for u > −1/3) are untouched. sumexp above was computed
+        # against the raw f32 max — the identity absorbs the difference.
+        m = refine_varying_max(cc_star, sum_c, sum_ref, f0, ntot)
+        return m, sumexp, d_star, cc_star
     else:
         cc64 = cc_flat.astype(F64)
         sc = sum_c.astype(F64)[:, :, None, None]

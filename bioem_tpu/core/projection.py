@@ -81,7 +81,13 @@ def _stencil_weights(spec: ProjectionSpec, rotmat, points, radii, densities):
     pix = jnp.float32(spec.pixel_size)
     s = spec.stencil_half
 
-    rot = points @ rotmat.T  # (P, 3); r' = R @ r (bioem.cpp:1683-1693)
+    # (P, 3); r' = R @ r (bioem.cpp:1683-1693). HIGHEST is load-bearing:
+    # TPU default-precision matmul runs bf16 — a ~4e-3-relative coordinate
+    # error is ~quarter-PIXEL at production extents, flipping pixel snaps
+    # wholesale vs the f32 reference (measured round 5: conv spectra off
+    # by 5 % end-to-end, 0.11 log-units at N=224 — the entire TPU-vs-CPU
+    # accuracy gap). A (P,3)·(3,3) matmul at HIGHEST costs nothing.
+    rot = jnp.matmul(points, rotmat.T, precision=jax.lax.Precision.HIGHEST)
     x, y = rot[:, 0], rot[:, 1]
 
     half = jnp.float32(n) / 2.0
@@ -300,7 +306,9 @@ def fourier_prologue(
     densities (reference bioem.cpp:1715-1803 semantics)."""
     n = fspec.n_pixels
     pix = jnp.float32(fspec.pixel_size)
-    rot = points @ rotmat.T
+    # HIGHEST: see _stencil_weights — bf16 default-precision rotations
+    # flip pixel snaps on TPU.
+    rot = jnp.matmul(points, rotmat.T, precision=jax.lax.Precision.HIGHEST)
     x, y = rot[:, 0], rot[:, 1]
     half = jnp.float32(n) / 2.0
     i_raw = jnp.floor(x / pix + half + 0.5).astype(jnp.int32)

@@ -94,7 +94,10 @@ def exp_so3(omega: jnp.ndarray) -> jnp.ndarray:
     wx, wy, wz = omega[0], omega[1], omega[2]
     k = jnp.array([[0.0, -wz, wy], [wz, 0.0, -wx], [-wy, wx, 0.0]], omega.dtype)
     eye = jnp.eye(3, dtype=omega.dtype)
-    return eye + a * k + b * (k @ k)
+    # HIGHEST: TPU default matmul is bf16 — 4e-3 error on a rotation
+    # matrix would swamp the sub-pixel polish this module exists for.
+    kk = jnp.matmul(k, k, precision=jax.lax.Precision.HIGHEST)
+    return eye + a * k + b * kk
 
 
 def smooth_projection_phases(
@@ -111,7 +114,11 @@ def smooth_projection_phases(
     (reference bioem.cpp:1715-1741). The SHIFT_X/Y offsets apply to
     large-radius points exactly as in the snapped path."""
     pix = jnp.asarray(pixel_size, F32)
-    rot = points @ rotmat.T.astype(points.dtype)
+    # HIGHEST: see exp_so3 — bf16 default matmuls break sub-pixel accuracy.
+    rot = jnp.matmul(
+        points, rotmat.T.astype(points.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+    )
     half = jnp.asarray(n, F32) / 2.0
     i_c = rot[:, 0] / pix + half
     j_c = rot[:, 1] / pix + half
@@ -217,7 +224,10 @@ def _logpro_smooth(theta, consts, static):
     and the model/stencil banks shared by all images."""
     n = static["n"]
     ntot = jnp.asarray(static["ntot"], F64)
-    rot = exp_so3(theta["omega"].astype(F32)) @ consts["rot0"]
+    rot = jnp.matmul(
+        exp_so3(theta["omega"].astype(F32)), consts["rot0"],
+        precision=jax.lax.Precision.HIGHEST,
+    )
     th_x, th_y = smooth_projection_phases(
         n, static["pixel_size"], static["shift_x"], static["shift_y"],
         rot, static["points"], static["radii"],
@@ -557,9 +567,12 @@ def refine_results(
 
     vec = np.asarray(vec, np.float64)
     rot = np.asarray(
-        jax.vmap(lambda w, r: exp_so3(w.astype(F32)) @ r)(
-            jnp.asarray(vec[:, :3]), jnp.asarray(rot0)
-        ),
+        jax.vmap(
+            lambda w, r: jnp.matmul(
+                exp_so3(w.astype(F32)), r,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        )(jnp.asarray(vec[:, :3]), jnp.asarray(rot0)),
         np.float64,
     )
     d = d0 + vec[:, 3:5]

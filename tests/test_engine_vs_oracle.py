@@ -223,3 +223,48 @@ def test_random_config_corners(seed):
     np.testing.assert_allclose(rp.log_prob, rx.log_prob, atol=2e-4)
     np.testing.assert_array_equal(rp.best_cent_x, rx.best_cent_x)
     np.testing.assert_array_equal(rp.best_cent_y, rx.best_cent_y)
+
+
+def test_log1p_series_accuracy():
+    """The intrinsic-free atanh-series log1p (used on TPU where the f32
+    log1p intrinsic's 3.7e-4 rel error × a_coef ≈ −N²/2 dominated the
+    N=224 backend error — round-5 attribution) must sit at the f32
+    rounding floor over its whole operative range u ∈ (−1/3, 0]."""
+    import jax.numpy as jnp
+
+    from bioem_tpu.core.posterior import _log1p_series
+
+    u = np.expm1(-np.logspace(-7, np.log10(0.405), 4000)).astype(np.float32)
+    u = np.concatenate([u, np.float32([0.0]), -u * 1e-3])  # incl. u ≥ 0
+    y = np.asarray(_log1p_series(jnp.asarray(u)))
+    true = np.log1p(u.astype(np.float64))
+    nz = np.abs(true) > 0
+    rel = np.abs(y - true)[nz] / np.abs(true)[nz]
+    assert rel.max() < 1e-6, rel.max()  # intrinsic: 3.7e-4
+
+
+def test_refined_varying_max_is_f64_accurate(rng):
+    """displacement_lse's returned max must equal the f64 re-evaluation at
+    the argmax (absolute-accuracy repair), not the f32 reduction value."""
+    import jax.numpy as jnp
+
+    from bioem_tpu.core.posterior import displacement_lse
+
+    o, c, i, d = 2, 2, 3, 5
+    ntot = 224.0 * 224.0
+    cc = rng.normal(0, 1.0, (o, c, i, d, d)).astype(np.float32) * 50.0
+    sum_c = rng.normal(0, 1, (o, c)).astype(np.float32)
+    sum_ref = rng.normal(0, 1, (i,)).astype(np.float32)
+    f0 = np.abs(rng.normal(0, 1, (o, c, i))).astype(np.float64) * 1e7 + 1e7
+    m, se, ds, ccs = displacement_lse(
+        cc, jnp.asarray(sum_c), jnp.asarray(sum_ref), jnp.asarray(f0), ntot
+    )
+    assert np.asarray(m).dtype == np.float64
+    cc64 = np.asarray(ccs).astype(np.float64)
+    u = (
+        2.0 * sum_ref[None, None, :].astype(np.float64)
+        * sum_c[:, :, None].astype(np.float64) * cc64
+        - ntot * cc64 * cc64
+    ) / f0
+    want = (3.0 - ntot) * 0.5 * np.log1p(u)
+    np.testing.assert_allclose(np.asarray(m), want, rtol=1e-14)
