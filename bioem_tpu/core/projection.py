@@ -284,7 +284,9 @@ def make_fourier_projection_spec(
         k2 = np.arange(nf)[None, :]
         phx = np.exp(-2j * np.pi * np.outer(k1.ravel(), du) / n)  # (N, S)
         phy = np.exp(-2j * np.pi * np.outer(k2.ravel(), du) / n)  # (F, S)
-        dfts[g] = (phx @ st.astype(np.complex128) @ phy.T).astype(np.complex64)
+        dfts[g] = np.matmul(
+            np.matmul(phx, st.astype(np.complex128)), phy.T
+        ).astype(np.complex64)
         sums[g] = st.sum()
     spec = FourierProjectionSpec(
         n_pixels=n,
@@ -407,7 +409,10 @@ def fourier_epilogue(
     proj_im = jnp.sum(st_re * s_im + st_im * s_re, axis=0)
 
     group_dens = jnp.sum(dens_eff.reshape(g, pp), axis=1)
-    tempden = jnp.dot(st_sums.astype(jnp.float32), group_dens)
+    tempden = jnp.dot(
+        st_sums.astype(jnp.float32), group_dens,
+        precision=jax.lax.Precision.HIGHEST,
+    )
     scale = norm_den / tempden
     return proj_re * scale, proj_im * scale
 
@@ -448,7 +453,10 @@ def project_fourier_batch_pallas(
         n=n, interpret=interpret,
     )
     group_dens = jnp.sum(de.reshape(o_n, g, pp), axis=2)  # (O, G)
-    tempden = group_dens @ st_sums.astype(jnp.float32)  # (O,)
+    tempden = jnp.matmul(
+        group_dens, st_sums.astype(jnp.float32),
+        precision=jax.lax.Precision.HIGHEST,
+    )  # (O,)
     scale = (norm_den / tempden)[:, None, None]
     return pr * scale, pi * scale
 

@@ -206,9 +206,10 @@ def _cc_at(
     phy = 2.0 * jnp.pi * jnp.arange(nf, dtype=F64) * d[1] / n
     cx, sx = jnp.cos(phx), jnp.sin(phx)
     cy, sy = jnp.cos(phy), jnp.sin(phy)
-    t_re = cx @ p_re - sx @ p_im  # (F,)
-    t_im = cx @ p_im + sx @ p_re
-    return jnp.dot(cy, t_re) - jnp.dot(sy, t_im)
+    hi = jax.lax.Precision.HIGHEST
+    t_re = jnp.matmul(cx, p_re, precision=hi) - jnp.matmul(sx, p_im, precision=hi)
+    t_im = jnp.matmul(cx, p_im, precision=hi) + jnp.matmul(sx, p_re, precision=hi)
+    return jnp.dot(cy, t_re, precision=hi) - jnp.dot(sy, t_im, precision=hi)
 
 
 # ---------------------------------------------------------------------------
@@ -320,7 +321,7 @@ def _newton_ascent(objective, vec0, consts, iters):
         # f64 iterative-refinement step (≈ f64-accurate for this damped
         # small system; a still-bad step is simply rejected by the λ loop).
         s0 = jnp.linalg.solve(a.astype(F32), b.astype(F32)).astype(F64)
-        r = b - a @ s0
+        r = b - jnp.matmul(a, s0, precision=jax.lax.Precision.HIGHEST)
         return s0 + jnp.linalg.solve(a.astype(F32), r.astype(F32)).astype(F64)
 
     def step(carry, _):
