@@ -320,13 +320,14 @@ def gate_device_health():
 
     if jax.default_backend() != "tpu":
         return None, None, True
-    peak = _mxu_peak_tflops(jax.devices()[0].device_kind)
-    # The probe (chained bf16 matmul + tanh) reads below pure-MXU peak even
-    # on a healthy chip; 35% of peak cleanly separates healthy (~100+ TF/s
-    # on v5e) from the observed degraded regime (2-6 TF/s).
-    threshold = float(
-        os.environ.get("BENCH_HEALTH_MIN_TFLOPS", 0.35 * (peak or 140.0))
-    )
+    # One threshold definition for bench and the autotuner cache gate
+    # (bioem_tpu/runtime/health.py: 35 % of peak, BENCH_HEALTH_MIN_TFLOPS
+    # override). tools/health_watch.sh's fire threshold is a deliberate
+    # v5e-hardcoded approximation (it must not attach to the device to
+    # ask); a premature fire is harmless — bench re-gates itself.
+    from bioem_tpu.runtime.health import threshold_tflops
+
+    threshold = threshold_tflops()
     attempts = int(os.environ.get("BENCH_HEALTH_ATTEMPTS", 4))
     backoff = float(os.environ.get("BENCH_HEALTH_BACKOFF_S", 60))
     health = None

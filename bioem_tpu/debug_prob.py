@@ -109,7 +109,15 @@ def _block_logpro(engine, banks, angles, img_re, img_im, sref, ssref, kernel):
         u = (
             2.0 * sr * sc * cc_i - jnp.float32(ntot) * cc_i * cc_i
         ) / f0.astype(F32)[:, :, 0, None, None]
-        v = jnp.float32(a_coef) * jnp.log1p(u)
+        # accurate_log1p mirrors the engine's LSE (review r5: the raw
+        # intrinsic here would make TPU dumps diverge from the engine by
+        # the very error the series removes). The engine's f64 repair of
+        # the ARGMAX term (refine_varying_max) is a property of the merged
+        # max, not of per-evaluation values, so it has no mirror here —
+        # dump-vs-output totals agree to the series floor (~1e-7·|v|).
+        from .core.posterior import accurate_log1p
+
+        v = jnp.float32(a_coef) * accurate_log1p(u)
         logpro = k[:, :, 0, None, None] + v.astype(F64)
     else:
         cc64 = cc_i.astype(F64)

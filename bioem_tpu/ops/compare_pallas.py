@@ -246,9 +246,11 @@ def _vector_lse(cc_t, pos, au, bu, a_coef, d, dp, it):
     row = jax.lax.broadcasted_iota(jnp.int32, (dp, L), 0)
     live = (row < jnp.int32(d)) & (pos < jnp.int32(d))
     u = au * cc_t - bu * cc_t * cc_t
-    # accurate_log1p: Newton-refined against the ~5e-6 exp — on TPU the
-    # raw log1p's 3.7e-4 rel error × a_coef ≈ −N²/2 is the dominant
-    # backend error at production N (core/posterior.py:_refine_log1p).
+    # accurate_log1p: intrinsic-free atanh series on the operative range —
+    # on TPU the raw log1p intrinsic's 3.7e-4 rel error × a_coef ≈ −N²/2
+    # would inject ~0.1 log-units at production N
+    # (core/posterior.py:_log1p_series; the absolute max term is
+    # additionally repaired in f64 engine-side via refine_varying_max).
     from ..core.posterior import accurate_log1p
 
     v = jnp.where(live, jnp.float32(a_coef) * accurate_log1p(u), -jnp.inf)

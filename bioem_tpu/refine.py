@@ -244,12 +244,20 @@ def _logpro_smooth(theta, consts, static):
     # and the symmetric Gaussian prior would not prevent the optimizer from
     # settling on that noise-fitting optimum.
     env = jnp.maximum(consts["env0"] + theta["dctf"][1].astype(F32), ENV_FLOOR)
-    # Amplitude lives in (0, 1): the CTF mixes amp·cos + √(1−amp²)·sin
-    # (param.cpp:1546-1574), so clamp inside the open interval — at |amp|→1
+    # Amplitude lives in [0, 1]: the CTF mixes amp·cos + √(1−amp²)·sin
+    # (param.cpp:1546-1574). The upper clamp is 0.9999 ONLY when the amp
+    # axis is freed (static["amp_hi"], set by refine_results) — at amp→1
     # the √ branch's gradient diverges and a Newton step would overshoot
-    # into NaN territory. The grid path never refines amp (r4 verdict #8).
+    # into NaN territory. With the axis gated off the bound is 1.0 so the
+    # objective (and reported amp) pass every legal grid amplitude —
+    # including exactly 0.0 and 1.0 — through untouched (review r5: a
+    # [1e-4, 0.9999] clamp on the default path shifted the seed logpro
+    # and the Output_Refined Amp column for boundary grids). amp = 0 is
+    # smooth (d√(1−a²)/da → 0), so no lower clamp is needed.
     amp = jnp.clip(
-        consts["amp0"] + theta["dctf"][2].astype(F32), 1e-4, 0.9999
+        consts["amp0"] + theta["dctf"][2].astype(F32),
+        0.0,
+        static.get("amp_hi", 1.0),
     )
     ctf = smooth_ctf_spectrum(
         n, static["pixel_size"], static["use_psf"], amp, pha, env,
@@ -501,6 +509,9 @@ def refine_results(
         "st_im": banks.st_im,
         "st_sums": banks.st_sums,
         "h": banks.h,
+        # 0.9999 only when the amp axis is actually freed — see
+        # _logpro_smooth's clamp comment.
+        "amp_hi": 0.9999 if refine_ctf_amp else 1.0,
     }
     if p.use_psf:
         k1 = np.arange(n)
@@ -585,7 +596,11 @@ def refine_results(
         cent_y=-d[:, 1],
         pha=pha0 + dctf[:, 0],
         env=np.maximum(env0 + dctf[:, 1], ENV_FLOOR),
-        amp=np.clip(amp0 + dctf[:, 2], 1e-4, 0.9999).astype(np.float64),
+        amp=(
+            np.clip(amp0 + dctf[:, 2], 0.0, 0.9999).astype(np.float64)
+            if refine_ctf_amp
+            else amp0.astype(np.float64)  # grid value passes through exactly
+        ),
         logpro_seed=np.asarray(lp0, np.float64),
         logpro_refined=np.asarray(lp1, np.float64),
         grad_norm=np.asarray(gnorm, np.float64),

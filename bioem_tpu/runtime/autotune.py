@@ -230,9 +230,14 @@ def autotune_config(
 
     health_tflops, health_ok = cache_gate()
     if not health_ok:
+        why = (
+            "health probe failed"
+            if health_tflops is None
+            else f"device degraded ({health_tflops} TF/s)"
+        )
         print(
-            f"autotune: device degraded ({health_tflops} TF/s) — tuning "
-            "for this run only; winner will NOT be cached",
+            f"autotune: {why} — tuning for this run only; winner will "
+            "NOT be cached",
             flush=True,
         )
     # Mesh runs tune on per-shard shapes (the kernel sees one image shard).

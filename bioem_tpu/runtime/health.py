@@ -85,7 +85,14 @@ def cache_gate() -> Tuple[Optional[float], bool]:
     unhealthy probe just means the session's winner is used for THIS run
     and not persisted. Non-TPU backends are never gated (CPU timings are
     only ever compared to other CPU timings under the same device-kind
-    cache key)."""
+    cache key).
+
+    Failure semantics differ from bench's gate ON PURPOSE: a probe that
+    errors out (returns None) counts as NOT-healthy here — the only cost
+    of wrongly declining to persist is a silent re-tune next run — while
+    ``bench.gate_device_health`` lets a None probe pass (refusing the
+    round's only record over a probe hiccup is the costlier mistake, and
+    the record carries the null health stamp for the reader to judge)."""
     import jax
 
     if jax.default_backend() != "tpu":

@@ -252,14 +252,19 @@ def test_refined_varying_max_is_f64_accurate(rng):
 
     o, c, i, d = 2, 2, 3, 5
     ntot = 224.0 * 224.0
-    cc = rng.normal(0, 1.0, (o, c, i, d, d)).astype(np.float32) * 50.0
+    # Scales chosen so u = (2·sr·sc·cc − N²·cc²)/f0 stays in (−1, 0]-ish
+    # territory for EVERY entry: ntot·cc²/f0 ≤ 50176·25/1e9 ≈ 1.3e-3
+    # (review r5: the first version drove u < −1 → NaN logpro, and
+    # assert_allclose's default equal_nan=True made the check vacuous).
+    cc = rng.normal(0, 1.0, (o, c, i, d, d)).astype(np.float32) * 5.0
     sum_c = rng.normal(0, 1, (o, c)).astype(np.float32)
     sum_ref = rng.normal(0, 1, (i,)).astype(np.float32)
-    f0 = np.abs(rng.normal(0, 1, (o, c, i))).astype(np.float64) * 1e7 + 1e7
+    f0 = np.abs(rng.normal(0, 1, (o, c, i))).astype(np.float64) * 1e9 + 1e9
     m, se, ds, ccs = displacement_lse(
         cc, jnp.asarray(sum_c), jnp.asarray(sum_ref), jnp.asarray(f0), ntot
     )
     assert np.asarray(m).dtype == np.float64
+    assert np.isfinite(np.asarray(m)).all()
     cc64 = np.asarray(ccs).astype(np.float64)
     u = (
         2.0 * sum_ref[None, None, :].astype(np.float64)
@@ -267,4 +272,4 @@ def test_refined_varying_max_is_f64_accurate(rng):
         - ntot * cc64 * cc64
     ) / f0
     want = (3.0 - ntot) * 0.5 * np.log1p(u)
-    np.testing.assert_allclose(np.asarray(m), want, rtol=1e-14)
+    np.testing.assert_allclose(np.asarray(m), want, rtol=1e-14, equal_nan=False)

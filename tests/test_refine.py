@@ -303,7 +303,7 @@ def test_refine_ctf_amp_recovery(rng):
     assert out.logpro_refined[0] >= out.logpro_seed[0]
     assert abs(out.amp[0] - amp_star) < abs(amp_grid - amp_star)
     assert abs(out.amp[0] - amp_star) < 0.05, (out.amp[0], amp_star)
-    assert 1e-4 <= out.amp[0] <= 0.9999  # clamp respected
+    assert 0.0 <= out.amp[0] <= 0.9999  # clamp respected
 
 
 def test_refine_raster_engine_rejected(rng):

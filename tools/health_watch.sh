@@ -15,8 +15,11 @@ set -u
 cd "$(dirname "$0")/.."
 MAX_HOURS=${1:-7}
 INTERVAL=${PROBE_INTERVAL_S:-900}
-# Fire threshold = bench.py's own gate (35 % of v5e peak ~197 TF/s): if the
-# probe clears this, bench will accept its own pre/post probes too.
+# Fire threshold ≈ bench.py's own gate (35 % of v5e peak ~197 TF/s,
+# bioem_tpu/runtime/health.py:threshold_tflops). Hardcoded for v5e on
+# purpose: computing it exactly needs a device attach, which this watcher
+# must never do outside the probe. A premature fire on a different chip
+# kind is harmless — bench re-gates itself and the watcher keeps looping.
 THRESH=${CAPTURE_MIN_TFLOPS:-69}
 LOG=DEVICE_HEALTH_r05.jsonl
 DEADLINE=$(( $(date +%s) + MAX_HOURS*3600 ))
