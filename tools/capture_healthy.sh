@@ -47,23 +47,26 @@ run_bench() { # name, env assignments...
   append_row "$name" /tmp/bench_row.out
 }
 
-# 1. Official autotuned record. The autotuner cache is now health-gated on
-#    its own (runtime/autotune.py: degraded-regime winners are never
-#    persisted, and un-stamped legacy entries are ignored on TPU), so no
-#    manual cache scrub is needed here.
-run_bench "autotuned" || exit 1
-cp /tmp/bench_row.out /tmp/bench_healthy.out
-python3 -c '
+record_healthy() { # stamp the last bench row as BENCH_HEALTHY.json
+  cp /tmp/bench_row.out /tmp/bench_healthy.out
+  python3 -c '
 import json, sys
 line = [l for l in open("/tmp/bench_healthy.out") if l.strip().startswith("{")][-1]
 rec = json.loads(line)
 rec["_utc"] = sys.argv[1]
 json.dump(rec, open("BENCH_HEALTHY.json", "w"), indent=1)
 ' "$TS"
+}
 
-# 2. Pinned A/B matrix (no autotune; round-3 winner config as the baseline row).
+# 1. Pinned A/B matrix FIRST (all five configs are prewarmed — the healthy
+#    minutes go to measuring, not compiling; an autotune session would
+#    compile ~12 candidates through the tunnel and could eat the window).
+#    The round-3 winner config leads and immediately becomes the official
+#    healthy record; later rows overwrite it only if they win.
 run_bench "per-image tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
-  BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=0 BIOEM_TPU_PALLAS_IMG_TILE=64
+  BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=0 BIOEM_TPU_PALLAS_IMG_TILE=64 \
+  || exit 1
+record_healthy
 run_bench "batched tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
   BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=1 BIOEM_TPU_PALLAS_IMG_TILE=64
 run_bench "batched tile32" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
@@ -72,6 +75,23 @@ run_bench "batched tile64 ob8" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=8 \
   BIOEM_TPU_FUSED_LSE=1 BIOEM_TPU_FUSED_BATCHED=1 BIOEM_TPU_PALLAS_IMG_TILE=64
 run_bench "hybrid-lse tile64" BIOEM_TPU_AUTOTUNE=0 BIOEM_TPU_ORIENT_BLOCK=16 \
   BIOEM_TPU_FUSED_LSE=0 BIOEM_TPU_PALLAS_IMG_TILE=64
+
+# 2. Take the best A/B row as the official healthy record, then refresh the
+#    autotuner cache (now safe: its own health gate stamps the session).
+python3 -c '
+import json
+rows = json.load(open("BENCH_AB_r04.json"))
+healthy = json.load(open("BENCH_HEALTHY.json"))
+best = max(
+    (r for r in rows if r.get("value")), key=lambda r: r["value"],
+    default=None,
+)
+if best and best["value"] > (healthy.get("value") or 0):
+    best["_utc"] = healthy.get("_utc")
+    json.dump(best, open("BENCH_HEALTHY.json", "w"), indent=1)
+    print("BENCH_HEALTHY <- best A/B row:", best["_row"], best["value"])
+'
+run_bench "autotuned" || echo "autotuned row failed (A/B rows stand)"
 
 # 3. Honest streaming evidence: 4608-orientation grid, 10k images
 #    (~8 min at the healthy 5.75M cmp/s rate; re-run with 50000 if time
