@@ -38,14 +38,23 @@ while [ "$(date +%s)" -lt "$DEADLINE" ]; do
     note null "probe failed rc=$RC (wedged or hung)"
   else
     note "$TF" "watcher probe"
-    # Degraded but responsive: pre-compile every capture config ONCE
+    # Degraded but responsive: pre-compile every capture config
     # (compiles are host-side and unaffected by device-side degradation)
     # so the eventual healthy window is spent measuring, not compiling.
+    # Capped at 4 attempts — a flapping tunnel makes each attempt slow
+    # and the watcher must not spend its life prewarming instead of
+    # probing; after any attempt, re-probe IMMEDIATELY (no 15-min sleep)
+    # in case a healthy window opened meanwhile.
     if [ "${TF%.*}" -lt "$THRESH" ] 2>/dev/null && [ ! -e /tmp/bioem_prewarmed ]; then
-      note "$TF" "degraded but responsive - running prewarm_cache.sh"
-      tools/prewarm_cache.sh > /tmp/prewarm.log 2>&1 \
-        && touch /tmp/bioem_prewarmed \
-        && note null "prewarm complete"
+      TRIES=$(cat /tmp/bioem_prewarm_tries 2>/dev/null || echo 0)
+      if [ "$TRIES" -lt 4 ]; then
+        echo $((TRIES + 1)) > /tmp/bioem_prewarm_tries
+        note "$TF" "degraded but responsive - running prewarm_cache.sh (attempt $((TRIES + 1)))"
+        tools/prewarm_cache.sh > /tmp/prewarm.log 2>&1 \
+          && touch /tmp/bioem_prewarmed \
+          && note null "prewarm complete"
+        continue
+      fi
     fi
     # Integer compare on the floor of TF.
     if [ "${TF%.*}" -ge "$THRESH" ] 2>/dev/null; then
